@@ -1,0 +1,228 @@
+"""Semantic-ID tokenizer: corpus precompute, dedup column, prefix membership.
+
+Parity: reference modules/tokenizer/semids.py:23-154, redesigned TPU-first.
+
+  * ``precompute_corpus_ids``: tokenizes the whole item corpus with the frozen
+    RQ-VAE and appends a dedup column so each item's (n_layers+1)-tuple is
+    unique. The reference counts duplicates with O(n^2) equality strips in
+    512-row batches (semids.py:84-99); here the dedup rank is a stable
+    sort + searchsorted — O(n log n), one jit, exactly the same semantics
+    (occurrence index in corpus order).
+  * ``exists_prefix``: the reference does O(n_items) equality scans per query,
+    chunked by 16 rows (semids.py:105-120, with a tail-drop bug we do not
+    replicate). Here every corpus prefix is packed into a sort key and
+    membership is a binary search (jnp.searchsorted) — device-resident and
+    fixed-shape, so it can sit inside the jitted beam-search loop.
+  * ``tokenize_sequences``: cached-ID gather producing a TokenizedSeqBatch
+    (semids.py:127-154): flatten each item's D-tuple into the sequence,
+    expand the mask D-fold, -1 at padding.
+
+Packing requires codebook_size**dim <= 2**32 per prefix (true for all shipped
+configs: 256^4 == 2^32). Larger codebooks fall back to a two-word key.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rqvae_tpu.data.schemas import SeqBatch, TokenizedSeqBatch
+from rqvae_tpu.models import rqvae as rqvae_lib
+
+
+@jax.tree_util.register_pytree_node_class
+class CorpusIndex:
+    """Device-resident corpus semantic-ID table + sorted prefix keys.
+
+    ``bases`` are the per-dim packing radices: codebook_size for the ID
+    levels, and a power of two >= max_dedup+1 for the dedup column (the dedup
+    count is unbounded by codebook_size for an untrained/collapsed tokenizer,
+    so packing with base=codebook_size would alias distinct tuples).
+    """
+
+    def __init__(self, cached_ids: jax.Array, sorted_keys: jax.Array,
+                 bases: tuple, codebook_size: int):
+        self.cached_ids = cached_ids      # (n_items, D) int32
+        self.sorted_keys = sorted_keys    # (D, n_items), row L-1 = prefix len L
+        self.bases = tuple(int(b) for b in bases)
+        self.codebook_size = int(codebook_size)
+
+    def tree_flatten(self):
+        return (self.cached_ids, self.sorted_keys), (self.bases, self.codebook_size)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+    @property
+    def n_items(self) -> int:
+        return self.cached_ids.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.cached_ids.shape[-1]
+
+
+def sem_ids_dim(cfg: rqvae_lib.RqVaeConfig) -> int:
+    return cfg.n_layers + 1
+
+
+def _bits_for(bases) -> int:
+    return sum(max(1, int(np.ceil(np.log2(b)))) for b in bases)
+
+
+def _key_dtype(bases):
+    bits = _bits_for(bases)
+    if bits <= 32:
+        return jnp.uint32
+    if bits <= 64 and jax.config.jax_enable_x64:
+        return jnp.uint64
+    raise ValueError(
+        f"prefix keys need {bits} bits for bases {tuple(bases)} "
+        "(enable jax_enable_x64 for up-to-64-bit keys)"
+    )
+
+
+def pack_prefix(prefix: jax.Array, bases, dtype=None) -> jax.Array:
+    """Mixed-radix Horner-pack of the last axis into a scalar sort key.
+
+    ``bases`` may be a single int (uniform radix) or one radix per dim; only
+    the first ``prefix.shape[-1]`` radices are consumed.
+    """
+    dim = prefix.shape[-1]
+    if isinstance(bases, int):
+        bases = (bases,) * dim
+    bases = tuple(bases)[:dim]
+    dt = dtype if dtype is not None else _key_dtype(bases)
+    key = jnp.zeros(prefix.shape[:-1], dt)
+    for i in range(dim):
+        key = key * jnp.asarray(bases[i], dt) + prefix[..., i].astype(dt)
+    return key
+
+
+def dedup_column(sem_ids: jax.Array, codebook_size: int) -> jax.Array:
+    """Occurrence rank of each row's tuple in corpus order.
+
+    Matches the reference's duplicate counting (semids.py:84-99): row i gets
+    the number of rows j < i with an identical tuple. A stable argsort keeps
+    corpus order within each duplicate group, so the within-group position is
+    exactly that count.
+    """
+    n, d = sem_ids.shape
+    keys = pack_prefix(sem_ids, codebook_size)
+    order = jnp.argsort(keys, stable=True)
+    sorted_keys = keys[order]
+    group_start = jnp.searchsorted(sorted_keys, sorted_keys, side="left")
+    rank_in_group = jnp.arange(n, dtype=jnp.int32) - group_start.astype(jnp.int32)
+    return jnp.zeros((n,), jnp.int32).at[order].set(rank_in_group)
+
+
+def precompute_corpus_ids(
+    params,
+    cfg: rqvae_lib.RqVaeConfig,
+    corpus_x: jax.Array,
+    *,
+    chunk_size: int = 4096,
+) -> CorpusIndex:
+    """Tokenize the full corpus and build the prefix-membership index.
+
+    The RQ-VAE forward runs in eval mode (hard argmin, reference
+    semids.py:131-135 via rq_vae.get_semantic_ids). Chunked with lax.map to
+    bound activation memory on big corpora; results are corpus-ordered so the
+    dedup column is deterministic.
+    """
+    n = corpus_x.shape[0]
+    pad = (-n) % chunk_size
+    x_padded = jnp.pad(corpus_x, ((0, pad), (0, 0)))
+    chunks = x_padded.reshape(-1, chunk_size, corpus_x.shape[-1])
+
+    def encode_chunk(xc):
+        return rqvae_lib.get_semantic_ids(params, cfg, xc).sem_ids
+
+    sem_ids = jax.lax.map(encode_chunk, chunks).reshape(-1, cfg.n_layers)[:n]
+    dedup = dedup_column(sem_ids, cfg.codebook_size)
+    cached = jnp.concatenate([sem_ids, dedup[:, None]], axis=-1)
+    return build_index(cached, cfg.codebook_size)
+
+
+def build_index(cached_ids: jax.Array, codebook_size: int) -> CorpusIndex:
+    """Sorted packed keys for every prefix length (1..D).
+
+    The last column (dedup rank) may exceed codebook_size on an untrained
+    tokenizer, so its radix is sized to the observed maximum (power of two).
+    Requires concrete values — call outside jit (corpus precompute is a
+    host-driven setup step, as in the reference).
+    """
+    d = cached_ids.shape[-1]
+    max_dedup = int(jnp.max(cached_ids[:, -1]))
+    dedup_base = max(codebook_size, 1 << int(np.ceil(np.log2(max_dedup + 2))))
+    bases = (codebook_size,) * (d - 1) + (dedup_base,)
+    dt = _key_dtype(bases)  # one dtype for all rows so they stack
+    rows = [
+        jnp.sort(pack_prefix(cached_ids[:, : l + 1], bases, dtype=dt))
+        for l in range(d)
+    ]
+    return CorpusIndex(
+        cached_ids=cached_ids,
+        sorted_keys=jnp.stack(rows, axis=0),
+        bases=bases,
+        codebook_size=codebook_size,
+    )
+
+
+def exists_prefix(index: CorpusIndex, prefix: jax.Array) -> jax.Array:
+    """Membership of ID-prefixes against the corpus (reference semids.py:105-120).
+
+    prefix: (..., L) int32 with 1 <= L <= D. Returns bool (...). Fixed-shape,
+    jittable, usable inside the generation loop.
+    """
+    l = prefix.shape[-1]
+    keys = pack_prefix(prefix, index.bases, dtype=index.sorted_keys.dtype)
+    table = index.sorted_keys[l - 1]
+    pos = jnp.searchsorted(table, keys.ravel())
+    pos = jnp.clip(pos, 0, table.shape[0] - 1)
+    found = table[pos] == keys.ravel()
+    return found.reshape(prefix.shape[:-1])
+
+
+def max_duplicates(index: CorpusIndex) -> int:
+    """Largest dedup value; must stay < codebook_size for the decoder's
+    level-offset embedding table (train_rqvae.py:228 logs the same stat)."""
+    return int(jnp.max(index.cached_ids[:, -1]))
+
+
+def tokenize_sequences(
+    index: CorpusIndex, batch: SeqBatch
+) -> TokenizedSeqBatch:
+    """Cached-ID gather: item-ID sequences -> semantic-ID token sequences
+    (reference semids.py:122-154)."""
+    b, n = batch.ids.shape
+    d = index.cached_ids.shape[-1]
+    safe_ids = jnp.maximum(batch.ids, 0)
+    sem_ids = index.cached_ids[safe_ids].reshape(b, n * d)
+    seq_mask = jnp.repeat(batch.seq_mask, d, axis=1)
+    sem_ids = jnp.where(seq_mask, sem_ids, -1)
+
+    ids_fut = jnp.maximum(batch.ids_fut, 0).reshape(b)
+    sem_ids_fut = index.cached_ids[ids_fut].reshape(b, d)
+
+    token_type = jnp.tile(jnp.arange(d, dtype=jnp.int32), (b, n))
+    token_type_fut = jnp.tile(jnp.arange(d, dtype=jnp.int32), (b, 1))
+    return TokenizedSeqBatch(
+        user_ids=batch.user_ids,
+        sem_ids=sem_ids,
+        sem_ids_fut=sem_ids_fut,
+        seq_mask=seq_mask,
+        token_type_ids=token_type,
+        token_type_ids_fut=token_type_fut,
+    )
+
+
+def tokenize_items_fresh(
+    params, cfg: rqvae_lib.RqVaeConfig, x: jax.Array
+) -> jax.Array:
+    """Fresh-encode path (no cache): raw features -> n_layers-tuple ids
+    (reference semids.py:131-135)."""
+    return rqvae_lib.get_semantic_ids(params, cfg, x).sem_ids

@@ -1,0 +1,169 @@
+"""Tests for the semantic-ID tokenizer (tokenizer/semids.py).
+
+Dedup and membership semantics verified against brute-force NumPy equivalents
+of the reference's O(n^2) implementation (reference semids.py:74-120).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rqvae_tpu.data.dataset import make_seq_batch
+from rqvae_tpu.data.synthetic import synthetic_items, synthetic_sequences
+from rqvae_tpu.models import rqvae
+from rqvae_tpu.tokenizer import semids
+
+CFG = rqvae.RqVaeConfig(
+    input_dim=18, embed_dim=16, hidden_dims=(18, 18), codebook_size=32,
+    n_layers=3, n_cat_feats=0,
+)
+
+
+def _brute_force_dedup(ids: np.ndarray) -> np.ndarray:
+    """Reference semantics: count of earlier rows with an identical tuple."""
+    n = ids.shape[0]
+    out = np.zeros(n, np.int32)
+    for i in range(n):
+        out[i] = sum((ids[j] == ids[i]).all() for j in range(i))
+    return out
+
+
+def test_dedup_column_matches_brute_force():
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(0, 4, size=(64, 3)).astype(np.int32))
+    got = semids.dedup_column(ids, codebook_size=32)
+    np.testing.assert_array_equal(np.asarray(got), _brute_force_dedup(np.asarray(ids)))
+
+
+def test_dedup_no_duplicates():
+    ids = jnp.asarray(np.stack(np.unravel_index(np.arange(27), (3, 3, 3)), axis=1).astype(np.int32))
+    got = semids.dedup_column(ids, codebook_size=32)
+    np.testing.assert_array_equal(np.asarray(got), np.zeros(27, np.int32))
+
+
+def test_pack_prefix_bijective_at_32bit_limit():
+    """codebook 256 x 4 dims = exactly 32 bits; extremes must round-trip."""
+    ids = jnp.asarray([[255, 255, 255, 255], [0, 0, 0, 0], [255, 0, 0, 1]], dtype=jnp.int32)
+    keys = semids.pack_prefix(ids, 256)
+    assert keys.dtype == jnp.uint32
+    got = np.asarray(keys, dtype=np.uint64)
+    expected = np.array(
+        [(2 ** 32) - 1, 0, 255 * 256 ** 3 + 1], dtype=np.uint64
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_exists_prefix_all_lengths():
+    rng = np.random.RandomState(1)
+    cached = rng.randint(0, 8, size=(50, 4)).astype(np.int32)
+    index = semids.build_index(jnp.asarray(cached), codebook_size=32)
+    for l in range(1, 5):
+        queries = rng.randint(0, 8, size=(40, l)).astype(np.int32)
+        got = np.asarray(semids.exists_prefix(index, jnp.asarray(queries)))
+        expected = np.array([
+            any((cached[:, :l] == q).all(axis=1)) for q in queries
+        ])
+        np.testing.assert_array_equal(got, expected)
+
+
+def test_exists_prefix_batched_shapes():
+    cached = np.array([[1, 2, 3, 0], [4, 5, 6, 0]], np.int32)
+    index = semids.build_index(jnp.asarray(cached), codebook_size=32)
+    q = jnp.asarray(np.array([[[1, 2], [9, 9]], [[4, 5], [1, 9]]], np.int32))
+    got = np.asarray(semids.exists_prefix(index, q))
+    np.testing.assert_array_equal(got, [[True, False], [True, False]])
+
+
+def test_exists_prefix_jittable():
+    cached = np.array([[1, 2, 3, 0], [4, 5, 6, 0]], np.int32)
+    index = semids.build_index(jnp.asarray(cached), codebook_size=32)
+    f = jax.jit(lambda q: semids.exists_prefix(index, q))
+    got = f(jnp.asarray([[1, 2, 3], [4, 5, 7]], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(got), [True, False])
+
+
+def test_precompute_corpus_ids_end_to_end():
+    items = synthetic_items(n_items=300, seed=2)
+    params = rqvae.init(jax.random.PRNGKey(0), CFG)
+    params = rqvae.kmeans_prime(params, CFG, jnp.asarray(items.x), jax.random.PRNGKey(1))
+    index = semids.precompute_corpus_ids(params, CFG, jnp.asarray(items.x), chunk_size=128)
+    cached = np.asarray(index.cached_ids)
+    assert cached.shape == (300, 4)
+    # dedup makes every 4-tuple unique
+    assert len(np.unique(cached, axis=0)) == 300
+    # dedup column matches brute force over the first-3 tuples
+    np.testing.assert_array_equal(cached[:, 3], _brute_force_dedup(cached[:, :3]))
+    # every corpus row is a member at every prefix length
+    for l in range(1, 5):
+        got = np.asarray(semids.exists_prefix(index, index.cached_ids[:, :l]))
+        assert got.all()
+    # chunking does not change results
+    index2 = semids.precompute_corpus_ids(params, CFG, jnp.asarray(items.x), chunk_size=300)
+    np.testing.assert_array_equal(cached, np.asarray(index2.cached_ids))
+
+
+def test_tokenize_sequences():
+    items = synthetic_items(n_items=100, seed=3)
+    train, _ = synthetic_sequences(100, n_users=16, max_seq_len=5, seed=4)
+    params = rqvae.init(jax.random.PRNGKey(0), CFG)
+    index = semids.precompute_corpus_ids(params, CFG, jnp.asarray(items.x))
+
+    rng = np.random.default_rng(0)
+    batch = make_seq_batch(train.sample_batch(rng, 8), items.x)
+    tok = semids.tokenize_sequences(index, jax.tree.map(jnp.asarray, batch))
+
+    assert tok.sem_ids.shape == (8, 5 * 4)
+    assert tok.sem_ids_fut.shape == (8, 4)
+    cached = np.asarray(index.cached_ids)
+    ids = np.asarray(batch.ids)
+    sem = np.asarray(tok.sem_ids)
+    mask = np.asarray(tok.seq_mask)
+    for b in range(8):
+        for n in range(5):
+            chunk = sem[b, n * 4:(n + 1) * 4]
+            if ids[b, n] >= 0:
+                np.testing.assert_array_equal(chunk, cached[ids[b, n]])
+                assert mask[b, n * 4:(n + 1) * 4].all()
+            else:
+                np.testing.assert_array_equal(chunk, [-1] * 4)
+                assert not mask[b, n * 4:(n + 1) * 4].any()
+    # token types cycle 0..3
+    np.testing.assert_array_equal(
+        np.asarray(tok.token_type_ids)[0], np.tile(np.arange(4), 5)
+    )
+    # future: cached row of the target item
+    fut = np.asarray(tok.sem_ids_fut)
+    np.testing.assert_array_equal(fut, cached[np.asarray(batch.ids_fut).reshape(-1)])
+
+
+def test_dedup_base_widens_beyond_codebook():
+    """Untrained tokenizers can emit dedup ranks >= codebook_size; the index
+    must stay bijective (regression: base-K packing aliased tuples)."""
+    n = 300
+    # every row shares one tuple -> dedup ranks 0..299 >> codebook 32
+    cached = np.concatenate(
+        [np.tile([1, 2, 3], (n, 1)), np.arange(n)[:, None]], axis=1
+    ).astype(np.int32)
+    index = semids.build_index(jnp.asarray(cached), codebook_size=32)
+    assert index.bases[-1] >= 300
+    got = np.asarray(semids.exists_prefix(index, index.cached_ids))
+    assert got.all()
+    # a tuple whose base-32 packing would collide with a real row must miss
+    probe = jnp.asarray([[1, 2, 3, 300], [0, 2, 3, 5]], jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(semids.exists_prefix(index, probe)), [False, False]
+    )
+
+
+def test_subsample_batch_semantics():
+    train, _ = synthetic_sequences(50, n_users=32, max_seq_len=6, seed=5)
+    rng = np.random.default_rng(1)
+    b = train.sample_batch(rng, 16, subsample=True)
+    ids, fut = b["ids"], b["ids_fut"]
+    assert ids.shape == (16, 6) and fut.shape == (16, 1)
+    lengths = (ids >= 0).sum(axis=1)
+    assert (lengths >= 2).all()       # crop keeps >= 3 incl. target
+    assert (fut >= 0).all()
+    # padding is a suffix
+    for row in ids:
+        v = row >= 0
+        assert not (~v[:-1] & v[1:]).any()
