@@ -1,0 +1,145 @@
+"""Constrained beam search over the corpus semantic-ID prefix trie.
+
+Parity: reference modules/model.py:149-245 (generate_next_sem_id), redesigned
+as a fixed-shape jit program:
+
+  * candidate sampling: the reference draws ``n_candidates`` per beam with
+    ``torch.multinomial`` (without replacement) from softmax(logits/temp);
+    here that is the Gumbel-top-k trick — identical distribution, fixed
+    shape, no host sync.
+  * validity: ``exists_prefix`` is a packed-key binary search over the corpus
+    index (tokenizer/semids.py) instead of O(n_items) equality scans.
+  * scoring: score = -10000 * invalid + log p(candidate) + cumulative beam
+    log-prob (reference model.py:190-194), then top-k beams via lax.top_k.
+  * beam bookkeeping: parent gathers by integer division, exactly the
+    reference's ``top_k_indices // n_candidates`` trick.
+  * the encoder runs ONCE on the B input rows; its output is repeated to
+    B*k and carried explicitly — the reference had to round-trip its jagged
+    encoder cache through padded tensors to do this (model.py:219-228).
+
+Everything below compiles to one XLA program per sem-ID position (the
+position loop is a static 4-step unroll; shapes differ per step).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rqvae_tpu.data.schemas import TokenizedSeqBatch
+from rqvae_tpu.models import retrieval
+from rqvae_tpu.models.retrieval import RetrievalConfig
+from rqvae_tpu.tokenizer import semids
+
+INVALID_PENALTY = -10000.0
+
+
+class GenerationOutput(NamedTuple):
+    sem_ids: jax.Array     # (B, k, D) int32
+    log_probas: jax.Array  # (B, k)
+
+
+def _gumbel_topk_sample(rng, logp, n):
+    """Sample n items without replacement from softmax logp (Gumbel-top-k)."""
+    g = -jnp.log(-jnp.log(jax.random.uniform(rng, logp.shape) + 1e-20) + 1e-20)
+    _, idx = jax.lax.top_k(logp + g, n)
+    return idx.astype(jnp.int32)
+
+
+def _repeat_rows(x, k):
+    """repeat_interleave along axis 0."""
+    return jnp.repeat(x, k, axis=0)
+
+
+def generate_next_sem_ids(
+    params,
+    cfg: RetrievalConfig,
+    index: semids.CorpusIndex,
+    batch: TokenizedSeqBatch,
+    rng: jax.Array,
+    *,
+    k: int = 32,
+    n_candidates: int = 200,
+    temperature: float = 1.0,
+) -> GenerationOutput:
+    """Generate the next item's sem-ID tuple with k constrained beams."""
+    b = batch.sem_ids.shape[0]
+    d = cfg.sem_id_dim
+    n_candidates = min(n_candidates, cfg.num_embeddings)
+
+    # ---- step 0: BOS-only forward on the raw batch, cache the encoder ----
+    bos_batch = batch._replace(sem_ids_fut=None, token_type_ids_fut=None)
+    logits, context = retrieval.forward_generate_step(params, cfg, bos_batch)
+    logp_dist = jax.nn.log_softmax(
+        logits.astype(jnp.float32) / temperature, axis=-1
+    )  # (B, K)
+
+    rng, sub = jax.random.split(rng)
+    samples = _gumbel_topk_sample(sub, logp_dist, n_candidates)      # (B, C)
+    sampled_logp = jnp.take_along_axis(logp_dist, samples, axis=-1)  # (B, C)
+    valid = semids.exists_prefix(index, samples[..., None])          # (B, C)
+    scores = jnp.where(valid, 0.0, INVALID_PENALTY) + sampled_logp
+    top_scores, top_idx = jax.lax.top_k(scores, k)                   # (B, k)
+    generated = jnp.take_along_axis(samples, top_idx, axis=-1)[..., None]  # (B,k,1)
+    log_probas = top_scores
+
+    # explode the batch and the cached encoder output to B*k rows
+    big_batch = TokenizedSeqBatch(
+        user_ids=_repeat_rows(batch.user_ids, k),
+        sem_ids=_repeat_rows(batch.sem_ids, k),
+        sem_ids_fut=None,
+        seq_mask=_repeat_rows(batch.seq_mask, k),
+        token_type_ids=_repeat_rows(batch.token_type_ids, k),
+        token_type_ids_fut=None,
+    )
+    big_context = _repeat_rows(context, k)
+
+    # ---- steps 1..D-1: beams of growing prefixes ----
+    for i in range(1, d):
+        fut = generated.reshape(b * k, i)
+        step_batch = big_batch._replace(
+            sem_ids_fut=fut,
+            token_type_ids_fut=jnp.tile(
+                jnp.arange(i, dtype=jnp.int32), (b * k, 1)
+            ),
+        )
+        logits, _ = retrieval.forward_generate_step(
+            params, cfg, step_batch, cached_context=big_context
+        )
+        logp_dist = jax.nn.log_softmax(
+            logits.astype(jnp.float32) / temperature, axis=-1
+        )  # (B*k, K)
+
+        rng, sub = jax.random.split(rng)
+        samples = _gumbel_topk_sample(sub, logp_dist, n_candidates)      # (B*k, C)
+        sampled_logp = jnp.take_along_axis(logp_dist, samples, axis=-1)
+
+        prefix = jnp.concatenate(
+            [
+                jnp.broadcast_to(fut[:, None, :], (b * k, n_candidates, i)),
+                samples[..., None],
+            ],
+            axis=-1,
+        )  # (B*k, C, i+1)
+        valid = semids.exists_prefix(index, prefix).reshape(b, k * n_candidates)
+
+        scores = (
+            jnp.where(valid, 0.0, INVALID_PENALTY)
+            + sampled_logp.reshape(b, k * n_candidates)
+            + jnp.repeat(log_probas, n_candidates, axis=-1)
+        )  # (B, k*C)
+        top_scores, top_idx = jax.lax.top_k(scores, k)  # (B, k)
+        parent = top_idx // n_candidates                # beam each winner came from
+        parent_prefix = jnp.take_along_axis(
+            generated, parent[..., None], axis=1
+        )  # (B, k, i)
+        winner_token = jnp.take_along_axis(
+            samples.reshape(b, k * n_candidates), top_idx, axis=-1
+        )  # (B, k)
+        generated = jnp.concatenate(
+            [parent_prefix, winner_token[..., None]], axis=-1
+        )  # (B, k, i+1)
+        log_probas = top_scores
+
+    return GenerationOutput(sem_ids=generated, log_probas=log_probas)

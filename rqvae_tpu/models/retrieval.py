@@ -1,0 +1,205 @@
+"""Encoder-decoder generative-retrieval model over semantic-ID sequences.
+
+Parity: reference modules/model.py:41-282 (EncoderDecoderRetrievalModel).
+  * embedding sum: level-offset semantic-ID table + learned absolute
+    positional table over flat token positions; user-ID hash-bucket token
+    prepended to the history (model.py:101-123).
+  * future side: learned BOS + (fut embedding + token-type embedding).
+    (The reference allocates ``tte_fut`` but embeds with ``tte`` —
+    model.py:78 vs :118; we keep the single used table.)
+  * heavy input dropout p=0.5 on both streams (model.py:66, the shared
+    ``self.do``), then RMSNorm -> in_proj to the attention width.
+  * loss: per-position CE (ignore -1) on fut positions, summed over the
+    sem-ID tuple, meaned over batch, plus per-position ``loss_d``
+    (model.py:254-269).
+
+The forward is pure and fully jittable; generation-time encoder caching is an
+explicit return value, not module state.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rqvae_tpu.data.schemas import TokenizedSeqBatch
+from rqvae_tpu.models import embeddings, transformer
+from rqvae_tpu.models.normalize import rms_norm, rms_norm_init
+from rqvae_tpu.models.transformer import TransformerConfig
+from rqvae_tpu.utils import initializers
+
+
+@dataclasses.dataclass(frozen=True)
+class RetrievalConfig:
+    embedding_dim: int = 128
+    attn_dim: int = 512
+    dropout: float = 0.3
+    num_heads: int = 8
+    n_layers: int = 8              # encoder + decoder total; split in half
+    num_embeddings: int = 256      # codebook size
+    sem_id_dim: int = 4            # n_layers_rqvae + 1 (dedup dim)
+    max_pos: int = 80              # max flat token positions (N * sem_id_dim)
+    user_hash_buckets: int = 2000  # reference model.py:74
+    input_dropout: float = 0.5     # reference model.py:66 (hardcoded)
+    mlp_hidden_dim: int = 1024
+
+    @property
+    def transformer(self) -> TransformerConfig:
+        return TransformerConfig(
+            d_model=self.attn_dim,
+            num_heads=self.num_heads,
+            dropout=self.dropout,
+            encoder_layers=self.n_layers // 2,
+            decoder_layers=self.n_layers // 2,
+            mlp_hidden_dim=self.mlp_hidden_dim,
+        )
+
+
+class ModelOutput(NamedTuple):
+    loss: jax.Array     # scalar
+    logits: jax.Array   # (B, D, K) training / (B, K) generation step
+    loss_d: jax.Array   # (D,) per-position loss
+
+
+def init(key: jax.Array, cfg: RetrievalConfig):
+    keys = jax.random.split(key, 9)
+    e, a = cfg.embedding_dim, cfg.attn_dim
+    return {
+        "bos": initializers.uniform01(keys[0], (e,)),
+        "norm": rms_norm_init(e),
+        "norm_cxt": rms_norm_init(e),
+        "sem_emb": embeddings.sem_id_embedder_init(
+            keys[1], cfg.num_embeddings, cfg.sem_id_dim, e
+        ),
+        "user_emb": embeddings.user_id_embedder_init(
+            keys[2], cfg.user_hash_buckets, e
+        ),
+        "wpe": initializers.normal(keys[3], (cfg.max_pos, e)),
+        "tte": initializers.normal(keys[4], (cfg.sem_id_dim, e)),
+        "in_proj": initializers.linear(keys[5], e, a),
+        "in_proj_context": initializers.linear(keys[6], e, a),
+        "out_proj": initializers.linear(keys[7], a, cfg.num_embeddings),
+        "transformer": transformer.init(keys[8], cfg.transformer),
+    }
+
+
+def _dropout(x, p, training, rng):
+    if not training or p <= 0.0:
+        return x, rng
+    rng, sub = jax.random.split(rng)
+    keep = jax.random.bernoulli(sub, 1.0 - p, x.shape)
+    return jnp.where(keep, x / (1.0 - p), 0.0), rng
+
+
+def embed_context(params, cfg: RetrievalConfig, batch: TokenizedSeqBatch):
+    """History stream: [user token, wpe + sem-ID embeddings] and its mask."""
+    b, n = batch.sem_ids.shape
+    sem = embeddings.sem_id_embed(
+        params["sem_emb"], batch.sem_ids, batch.token_type_ids,
+        cfg.num_embeddings, batch.seq_mask,
+    )
+    pos = jnp.arange(n)
+    sem = sem + params["wpe"][pos][None, :, :]
+    user = embeddings.user_id_embed(params["user_emb"], batch.user_ids)
+    ctx = jnp.concatenate([user[:, None, :], sem], axis=1)
+    mask = jnp.concatenate(
+        [jnp.ones((b, 1), dtype=bool), batch.seq_mask], axis=1
+    )
+    return ctx, mask
+
+
+def embed_future(params, cfg: RetrievalConfig, batch: TokenizedSeqBatch):
+    """Target stream: [BOS, fut embedding + token-type embedding]."""
+    b = batch.sem_ids.shape[0]
+    bos = jnp.broadcast_to(params["bos"], (b, 1, cfg.embedding_dim))
+    if batch.sem_ids_fut is None:
+        return bos
+    fut = embeddings.sem_id_embed(
+        params["sem_emb"], batch.sem_ids_fut, batch.token_type_ids_fut,
+        cfg.num_embeddings,
+    )
+    fut = fut + params["tte"][batch.token_type_ids_fut]
+    return jnp.concatenate([bos, fut], axis=1)
+
+
+def predict(
+    params,
+    cfg: RetrievalConfig,
+    batch: TokenizedSeqBatch,
+    *,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+    cached_context: Optional[jax.Array] = None,
+):
+    """Shared trunk (reference model.py:101-147): embed, project, transform.
+    Returns (decoder output (B, Nf, A), encoder context (B, Nc, A), mask)."""
+    ctx_emb, ctx_mask = embed_context(params, cfg, batch)
+    fut_emb = embed_future(params, cfg, batch)
+
+    h_ctx, rng = _dropout(
+        rms_norm(ctx_emb, params["norm"]), cfg.input_dropout, training, rng
+    )
+    h_fut, rng = _dropout(
+        rms_norm(fut_emb, params["norm_cxt"]), cfg.input_dropout, training, rng
+    )
+    ctx_in = h_ctx @ params["in_proj_context"].astype(h_ctx.dtype)
+    fut_in = h_fut @ params["in_proj"].astype(h_fut.dtype)
+
+    out, context = transformer.apply(
+        params["transformer"],
+        cfg.transformer,
+        fut_in,
+        ctx_in,
+        ctx_mask,
+        training=training,
+        rng=rng,
+        cached_context=cached_context,
+    )
+    return out, context, ctx_mask
+
+
+def cross_entropy_ignore(
+    logits: jax.Array, targets: jax.Array
+) -> jax.Array:
+    """Per-position CE with ignore_index=-1 semantics (0 at ignored)."""
+    valid = targets >= 0
+    safe = jnp.maximum(targets, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.where(valid, nll, 0.0)
+
+
+def forward(
+    params,
+    cfg: RetrievalConfig,
+    batch: TokenizedSeqBatch,
+    *,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> ModelOutput:
+    """Training/eval-loss forward (reference model.py:247-269)."""
+    out, _, _ = predict(params, cfg, batch, training=training, rng=rng)
+    logits = out @ params["out_proj"].astype(out.dtype)   # (B, D+1, K)
+    logits = logits[:, :-1, :]                            # predict positions 0..D-1
+    unred = cross_entropy_ignore(logits, batch.sem_ids_fut)  # (B, D)
+    loss = jnp.mean(jnp.sum(unred, axis=1))
+    loss_d = jnp.mean(unred, axis=0)
+    return ModelOutput(loss=loss, logits=logits, loss_d=loss_d)
+
+
+def forward_generate_step(
+    params,
+    cfg: RetrievalConfig,
+    batch: TokenizedSeqBatch,
+    *,
+    cached_context: Optional[jax.Array] = None,
+):
+    """Generation step: logits at the LAST fut position (reference
+    model.py:270-280). Returns (logits (B, K), encoder context to cache)."""
+    out, context, _ = predict(
+        params, cfg, batch, training=False, cached_context=cached_context
+    )
+    logits = out[:, -1, :] @ params["out_proj"].astype(out.dtype)
+    return logits, context

@@ -1,0 +1,80 @@
+"""Length-aware scaled dot-product attention (jnp reference path).
+
+This replaces the reference's entire jagged stack: the Triton padded<->jagged
+copy kernel (reference ops/triton/jagged.py:92-125) plus flash SDPA over
+NestedTensors (reference modules/transformer/attention.py:113-124). On TPU we
+keep sequences as dense padded buffers and make the attention kernel
+length-aware via masks — there is no copy, no layout surgery, and the whole
+model stays inside one XLA graph (the reference needed
+``torch._dynamo.config.suppress_errors`` because NestedTensor creation broke
+torch.compile graphs).
+
+The jnp implementation here is the semantic reference; the fused Pallas flash
+kernel in ``rqvae_tpu.ops.flash_attention`` is parity-tested against it and
+selected on TPU for long-context shapes.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def build_mask(
+    q_len: int,
+    k_len: int,
+    *,
+    causal: bool = False,
+    q_mask: Optional[jax.Array] = None,   # (B, Nq) bool
+    k_mask: Optional[jax.Array] = None,   # (B, Nk) bool
+) -> Optional[jax.Array]:
+    """(B or 1, 1, Nq, Nk) boolean attention mask; True = attend."""
+    mask = None
+    if causal:
+        mask = jnp.tril(jnp.ones((q_len, k_len), dtype=bool))[None, None]
+    if k_mask is not None:
+        km = k_mask[:, None, None, :]
+        mask = km if mask is None else jnp.logical_and(mask, km)
+    if q_mask is not None:
+        qm = q_mask[:, None, :, None]
+        mask = qm if mask is None else jnp.logical_and(mask, qm)
+    return mask
+
+
+def sdpa(
+    q: jax.Array,  # (B, H, Nq, Dh)
+    k: jax.Array,  # (B, H, Nk, Dh)
+    v: jax.Array,  # (B, H, Nk, Dh)
+    mask: Optional[jax.Array] = None,  # (B or 1, 1, Nq, Nk) bool
+) -> jax.Array:
+    """Masked softmax(q k^T / sqrt(d)) v with fp32 softmax accumulation.
+
+    Rows with no valid key produce zeros (not NaN) — padded query positions
+    are handled gracefully and masked out downstream.
+    """
+    dh = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+    # stable softmax; fully-masked rows -> uniform over NEG_INF -> zero out
+    probs = jax.nn.softmax(scores, axis=-1)
+    if mask is not None:
+        any_valid = jnp.any(mask, axis=-1, keepdims=True)
+        probs = jnp.where(any_valid, probs, 0.0)
+    probs = probs.astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    b, n, d = x.shape
+    return x.reshape(b, n, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    b, h, n, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * dh)

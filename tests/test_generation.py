@@ -1,0 +1,142 @@
+"""Tests for constrained beam search (models/generation.py) and eval metrics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rqvae_tpu.data.schemas import TokenizedSeqBatch
+from rqvae_tpu.evaluate.metrics import TopKAccumulator
+from rqvae_tpu.models import generation, retrieval
+from rqvae_tpu.models.retrieval import RetrievalConfig
+from rqvae_tpu.tokenizer import semids
+
+CFG = RetrievalConfig(
+    embedding_dim=16, attn_dim=32, dropout=0.0, num_heads=4, n_layers=4,
+    num_embeddings=32, sem_id_dim=4, max_pos=20, input_dropout=0.0,
+    mlp_hidden_dim=64,
+)
+
+
+def _index(n_items=60, seed=0):
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(0, 8, size=(n_items, 3)).astype(np.int32)
+    dedup = np.asarray(semids.dedup_column(jnp.asarray(ids), 32))
+    cached = np.concatenate([ids, dedup[:, None]], axis=1).astype(np.int32)
+    return semids.build_index(jnp.asarray(cached), codebook_size=32)
+
+
+def _batch(b=4, n_items=5, d=4, k=32, seed=1):
+    rng = np.random.RandomState(seed)
+    n = n_items * d
+    sem_ids = rng.randint(0, 8, size=(b, n)).astype(np.int32)
+    seq_mask = np.ones((b, n), dtype=bool)
+    return TokenizedSeqBatch(
+        user_ids=jnp.asarray(np.arange(b, dtype=np.int32)),
+        sem_ids=jnp.asarray(sem_ids),
+        sem_ids_fut=None,
+        seq_mask=jnp.asarray(seq_mask),
+        token_type_ids=jnp.asarray(np.tile(np.arange(d, dtype=np.int32), (b, n_items))),
+        token_type_ids_fut=None,
+    )
+
+
+def test_generated_tuples_are_corpus_members():
+    params = retrieval.init(jax.random.PRNGKey(0), CFG)
+    index = _index()
+    out = generation.generate_next_sem_ids(
+        params, CFG, index, _batch(), jax.random.PRNGKey(2),
+        k=8, n_candidates=16,
+    )
+    assert out.sem_ids.shape == (4, 8, 4)
+    assert out.log_probas.shape == (4, 8)
+    cached = np.asarray(index.cached_ids)
+    gen = np.asarray(out.sem_ids).reshape(-1, 4)
+    # corpus has 60 items with 8^3 possible prefixes: beams with sane scores
+    # (no -10000 penalty) must be real corpus members
+    scores = np.asarray(out.log_probas).reshape(-1)
+    for row, s in zip(gen, scores):
+        if s > generation.INVALID_PENALTY / 2:
+            assert any((cached == row).all(axis=1)), row
+
+
+def test_beams_sorted_and_unique():
+    params = retrieval.init(jax.random.PRNGKey(0), CFG)
+    index = _index()
+    out = generation.generate_next_sem_ids(
+        params, CFG, index, _batch(), jax.random.PRNGKey(3), k=8, n_candidates=16,
+    )
+    lp = np.asarray(out.log_probas)
+    assert (np.diff(lp, axis=-1) <= 1e-6).all(), "beams must be score-sorted"
+    # beams within a row are distinct tuples (sampling w/o replacement +
+    # unique corpus tuples)
+    for row in np.asarray(out.sem_ids):
+        assert len(np.unique(row, axis=0)) == row.shape[0]
+
+
+def test_generation_is_jittable_and_deterministic():
+    params = retrieval.init(jax.random.PRNGKey(0), CFG)
+    index = _index()
+    batch = _batch()
+
+    f = jax.jit(
+        lambda p, bt, r: generation.generate_next_sem_ids(
+            p, CFG, index, bt, r, k=4, n_candidates=8
+        )
+    )
+    o1 = f(params, batch, jax.random.PRNGKey(5))
+    o2 = f(params, batch, jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(o1.sem_ids), np.asarray(o2.sem_ids))
+
+
+def test_trained_model_recovers_target():
+    """Overfit on a single target tuple -> the top beam must find it."""
+    import optax
+
+    params = retrieval.init(jax.random.PRNGKey(0), CFG)
+    index = _index()
+    cached = np.asarray(index.cached_ids)
+    target = cached[7]  # an actual corpus tuple
+    batch = _batch(b=4)
+    train_batch = batch._replace(
+        sem_ids_fut=jnp.asarray(np.tile(target, (4, 1)).astype(np.int32)),
+        token_type_ids_fut=jnp.asarray(np.tile(np.arange(4, dtype=np.int32), (4, 1))),
+    )
+    opt = optax.adamw(3e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(
+            lambda pp: retrieval.forward(pp, CFG, train_batch).loss
+        )(p)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    for _ in range(150):
+        params, state, loss = step(params, state)
+    assert float(loss) < 0.1, float(loss)
+
+    out = generation.generate_next_sem_ids(
+        params, CFG, index, batch, jax.random.PRNGKey(9), k=4, n_candidates=16,
+        temperature=1.0,
+    )
+    top1 = np.asarray(out.sem_ids)[:, 0, :]
+    np.testing.assert_array_equal(top1, np.tile(target, (4, 1)))
+
+
+def test_topk_accumulator_golden():
+    acc = TopKAccumulator(ks=(1, 5))
+    actual = np.array([[1, 2, 3, 0], [4, 5, 6, 0]], np.int32)
+    # beams: row 0 has the exact item at rank 2; row 1 has no full match but
+    # a correct position-0 token at rank 0
+    beams = np.tile(np.array([[9, 9, 9, 9]], np.int32), (2, 5, 1))
+    beams[0, 2] = [1, 2, 3, 0]
+    beams[1, 0] = [4, 9, 9, 9]
+    acc.accumulate(actual, beams)
+    m = acc.reduce()
+    assert m["h@5_slice_:4"] == 0.5   # exact item within top5: row0 only
+    assert m["h@1_slice_:4"] == 0.0   # not at rank 0
+    assert m["h@1_pos_0"] == 0.5      # row1 beam0 has pos0 right... row0 no
+    assert m["h@5_pos_0"] == 1.0      # both rows have pos0 right in top5
+    np.testing.assert_allclose(m["ndcg@5"], 0.5 * (1 / np.log2(2 + 2)))
+    acc.reset()
+    assert acc.total == 0
