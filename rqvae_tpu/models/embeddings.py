@@ -19,13 +19,24 @@ import jax.numpy as jnp
 from rqvae_tpu.utils import initializers
 
 
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
 def sem_id_embedder_init(
     key: jax.Array, num_embeddings: int, sem_ids_dim: int, embedding_dim: int
 ) -> jax.Array:
-    """(K * D + 1, E); last row is the padding vector (zeros, matching torch's
-    padding_idx which zero-inits and freezes that row)."""
-    table = initializers.normal(key, (num_embeddings * sem_ids_dim + 1, embedding_dim))
-    return table.at[-1].set(0.0)
+    """Functionally (K * D + 1, E) — row K*D is the padding vector (zeros,
+    matching torch's padding_idx). The row count is rounded up to a multiple
+    of 16 so the table can be row-sharded over a 'model' mesh axis; the
+    trailing rows are never addressed."""
+    rows = _round_up(num_embeddings * sem_ids_dim + 1, 16)
+    table = initializers.normal(key, (rows, embedding_dim))
+    return table.at[num_embeddings * sem_ids_dim :].set(0.0)
+
+
+def sem_id_padding_idx(num_embeddings: int, sem_ids_dim: int) -> int:
+    return num_embeddings * sem_ids_dim
 
 
 def sem_id_embed(
@@ -36,7 +47,7 @@ def sem_id_embed(
     seq_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Level-offset lookup; invalid positions hit the padding row."""
-    padding_idx = table.shape[0] - 1
+    padding_idx = table.shape[0] - 1  # any zeroed tail row works as padding
     idx = token_type_ids * num_embeddings + sem_ids
     if seq_mask is not None:
         idx = jnp.where(seq_mask, idx, padding_idx)

@@ -163,9 +163,14 @@ def predict(
 def cross_entropy_ignore(
     logits: jax.Array, targets: jax.Array
 ) -> jax.Array:
-    """Per-position CE with ignore_index=-1 semantics (0 at ignored)."""
-    valid = targets >= 0
-    safe = jnp.maximum(targets, 0)
+    """Per-position CE with ignore_index=-1 semantics (0 at ignored).
+
+    Targets outside [0, K) are also ignored: a degenerate tokenizer can emit
+    dedup ranks >= codebook_size (unrepresentable by the K-way head); the
+    train loop warns, and the loss stays finite instead of NaN-ing.
+    """
+    valid = (targets >= 0) & (targets < logits.shape[-1])
+    safe = jnp.clip(targets, 0, logits.shape[-1] - 1)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     return jnp.where(valid, nll, 0.0)

@@ -1,0 +1,117 @@
+"""Device mesh + sharding rules (the entire "distributed backend").
+
+Parity/contrast: the reference's only distribution strategy is DDP via HF
+Accelerate (train_rqvae.py:60-63 — NCCL all-reduce of grads, split_batches).
+The TPU-native equivalent is GSPMD: one jit-compiled train step over a
+``Mesh(('data', 'model'))`` where
+
+  * the batch is sharded over 'data' (grad psum inserted by XLA — this IS
+    data parallelism, no hand-written collectives);
+  * large embedding tables / codebooks / FFN weights may be sharded over
+    'model' (tensor parallelism; all-gather / reduce-scatter inserted by XLA
+    where the einsums demand it — the BASELINE.json "sharded codebook +
+    SemIdEmbedder with all-to-all lookup" configuration).
+
+Multi-host: the same code runs under ``jax.distributed.initialize`` — mesh
+axes spanning hosts ride DCN, intra-host axes ride ICI. Nothing here is
+host-count-aware by design.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    shape: Optional[Sequence[int]] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Mesh of (data, model) axes. Default: all devices on 'data', model=1
+    (pure DP — matching the reference's capability envelope); pass e.g.
+    shape=(4, 2) for DP x TP."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1)
+    assert int(np.prod(shape)) == n, f"mesh shape {shape} != {n} devices"
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis split over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: int = 0):
+    """Device_put every leaf with dimension ``axis`` split over 'data'
+    (axis=1 for microbatch-stacked (accum, B, ...) layouts)."""
+    def put(x):
+        dims = [None] * np.ndim(x)
+        dims[axis] = DATA_AXIS
+        return jax.device_put(x, NamedSharding(mesh, P(*dims)))
+
+    return jax.tree.map(put, batch)
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding rules
+# ---------------------------------------------------------------------------
+
+def dp_param_shardings(params, mesh: Mesh):
+    """Pure data-parallel: all params replicated."""
+    return jax.tree.map(lambda _: replicated(mesh), params)
+
+
+def _retrieval_tp_spec(path: str, x) -> P:
+    """Megatron-style specs for the retrieval model's big matrices.
+
+    sem_emb (K*D+1, E): rows over 'model' — the all-to-all lookup table of
+    BASELINE.json. wqkv/wkv/in_proj (in, out): columns over 'model';
+    attn proj / out_proj (in, out): rows over 'model' (psum after).
+    FFN: first matmul columns, second rows.
+    """
+    if x.ndim < 2:
+        return P()
+    if "sem_emb" in path:
+        return P(MODEL_AXIS, None)
+    if any(k in path for k in ("wqkv", "wkv", "wq'", "in_proj")):
+        return P(None, MODEL_AXIS)
+    if "proj" in path and "in_proj" not in path:
+        return P(MODEL_AXIS, None)
+    if "ff_mlp" in path:
+        # alternate: layer 0 column-sharded, layer 1 row-sharded
+        idx = int(path.rsplit("[", 1)[-1].rstrip("]")) if path.endswith("]") else 0
+        return P(None, MODEL_AXIS) if idx == 0 else P(MODEL_AXIS, None)
+    return P()
+
+
+def tp_param_shardings(params, mesh: Mesh):
+    """Tensor-parallel shardings for the retrieval model param tree."""
+    paths_and_leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        parts = []
+        for k in kp:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts[-1] = parts[-1] + f"[{k.idx}]"
+        return "/".join(parts)
+
+    specs = [
+        NamedSharding(mesh, _retrieval_tp_spec(path_str(kp), leaf))
+        for kp, leaf in paths_and_leaves
+    ]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, specs)

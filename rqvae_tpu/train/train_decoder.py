@@ -1,0 +1,340 @@
+"""Stage-2 training: the generative-retrieval decoder.
+
+Parity: reference train_decoder.py:28-276, re-architected TPU-first:
+
+  * kwargs surface mirrors the reference train() (train_decoder.py:28-66),
+    same defaults; the RQ-VAE handoff contract is identical — the config
+    points at a stage-1 checkpoint, the tokenizer is frozen.
+  * corpus semantic-IDs precomputed once up front (train_decoder.py:132) into
+    a device-resident CorpusIndex; per-step tokenization is a cached-ID
+    gather running INSIDE the jit step (the reference gathers on host).
+  * AdamW + inverse-sqrt LR schedule, 10k warmup (train_decoder.py:151-160).
+  * partial eval (loss) every partial_eval_every; full generative eval
+    (constrained beam search + TopKAccumulator) every full_eval_every
+    (train_decoder.py:208-245).
+  * checkpoint/resume incl. optimizer and schedule step.
+
+The reference asserts AMAZON-only (train_decoder.py:68-69); this framework
+supports any dataset whose artifacts exist — the assert is not replicated.
+"""
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rqvae_tpu.data import registry
+from rqvae_tpu.data.dataset import make_seq_batch
+from rqvae_tpu.data.schemas import SeqBatch
+from rqvae_tpu.evaluate.metrics import TopKAccumulator
+from rqvae_tpu.models import generation, retrieval
+from rqvae_tpu.models import rqvae as rqvae_lib
+from rqvae_tpu.models.quantize import QuantizeForwardMode
+from rqvae_tpu.models.retrieval import RetrievalConfig
+from rqvae_tpu.parallel import mesh as mesh_lib
+from rqvae_tpu.tokenizer import semids
+from rqvae_tpu.train import checkpoint as ckpt_lib
+from rqvae_tpu.train import optim
+from rqvae_tpu.utils import config as config_lib
+from rqvae_tpu.utils.logging import MetricsLogger
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderTrainConfig:
+    # ---- reference train() kwargs (train_decoder.py:28-66) ----
+    iterations: int = 500000
+    batch_size: int = 64
+    learning_rate: float = 0.001
+    weight_decay: float = 0.01
+    dataset_folder: str = "dataset/ml-1m"
+    save_dir_root: str = "out/decoder/"
+    dataset: registry.RecDataset = registry.RecDataset.ML_1M
+    pretrained_rqvae_path: Optional[str] = None
+    pretrained_decoder_path: Optional[str] = None
+    split_batches: bool = True
+    amp: bool = False
+    force_dataset_process: bool = False
+    mixed_precision_type: str = "bf16"
+    gradient_accumulate_every: int = 1
+    save_model_every: int = 1000000
+    partial_eval_every: int = 1000
+    full_eval_every: int = 10000
+    vae_input_dim: int = 18
+    vae_embed_dim: int = 16
+    vae_hidden_dims: Tuple[int, ...] = (18, 18)
+    vae_codebook_size: int = 32
+    vae_codebook_normalize: bool = False
+    vae_codebook_mode: QuantizeForwardMode = QuantizeForwardMode.GUMBEL_SOFTMAX
+    vae_sim_vq: bool = False
+    vae_n_cat_feats: int = 18
+    vae_n_layers: int = 3
+    decoder_embed_dim: int = 64
+    dropout_p: float = 0.1
+    attn_heads: int = 8
+    attn_embed_dim: int = 64
+    attn_layers: int = 4
+    dataset_split: str = "beauty"
+    train_data_subsample: bool = True
+    # ---- framework knobs ----
+    seed: int = 42
+    log_every: int = 100
+    warmup_steps: int = 10000            # reference train_decoder.py:159
+    eval_batches: int = 32
+    generation_top_k: int = 32           # reference model.py:161
+    generation_candidates: int = 200     # reference model.py:162
+    generation_temperature: float = 1.0
+    mesh_shape: Optional[Tuple[int, ...]] = None
+    tensor_parallel: bool = False        # shard tables/FFN over 'model'
+    synthetic_n_items: int = 2048
+    synthetic_n_users: int = 2048
+    data_path: Optional[str] = None
+
+    def vae_config(self) -> rqvae_lib.RqVaeConfig:
+        return rqvae_lib.RqVaeConfig(
+            input_dim=self.vae_input_dim,
+            embed_dim=self.vae_embed_dim,
+            hidden_dims=self.vae_hidden_dims,
+            codebook_size=self.vae_codebook_size,
+            n_layers=self.vae_n_layers,
+            n_cat_feats=self.vae_n_cat_feats,
+            codebook_mode=self.vae_codebook_mode,
+            codebook_normalize=self.vae_codebook_normalize,
+            codebook_sim_vq=self.vae_sim_vq,
+            codebook_kmeans_init=False,
+        )
+
+    def retrieval_config(self, max_seq_len: int) -> RetrievalConfig:
+        sem_dim = self.vae_n_layers + 1
+        return RetrievalConfig(
+            embedding_dim=self.decoder_embed_dim,
+            attn_dim=self.attn_embed_dim,
+            dropout=self.dropout_p,
+            num_heads=self.attn_heads,
+            n_layers=self.attn_layers,
+            num_embeddings=self.vae_codebook_size,
+            sem_id_dim=sem_dim,
+            max_pos=max_seq_len * sem_dim,
+        )
+
+
+def load_frozen_rqvae(cfg: DecoderTrainConfig):
+    """Stage-1 -> stage-2 handoff (reference semids.py:42-58)."""
+    vae_cfg = cfg.vae_config()
+    params = rqvae_lib.init(jax.random.PRNGKey(0), vae_cfg)
+    if cfg.pretrained_rqvae_path is not None:
+        state, meta = ckpt_lib.restore(
+            cfg.pretrained_rqvae_path,
+            target=jax.device_get({"params": params}),
+            partial=True,
+        )
+        params = state["params"]
+        print(f"---Loaded RQVAE Iter {meta['step']}---", file=sys.stderr)
+    return jax.tree.map(jax.lax.stop_gradient, params), vae_cfg
+
+
+def make_train_step(model_cfg, opt, index, accum, compute_dtype, sem_dim):
+    def microbatch_loss(params, batch: SeqBatch, rng):
+        tok = semids.tokenize_sequences(index, batch)
+        out = retrieval.forward(params, model_cfg, tok, training=True, rng=rng)
+        return out.loss, out.loss_d
+
+    def step(params, opt_state, batch, rng):
+        rngs = jax.random.split(rng, accum)
+
+        def scan_body(carry, inp):
+            grads_acc, loss_acc, loss_d_acc = carry
+            b, r = inp
+            (loss, loss_d), grads = jax.value_and_grad(
+                microbatch_loss, has_aux=True
+            )(params, b, r)
+            return (
+                jax.tree.map(jnp.add, grads_acc, grads),
+                loss_acc + loss,
+                loss_d_acc + loss_d,
+            ), None
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        init = (zeros, jnp.float32(0.0), jnp.zeros((sem_dim,), jnp.float32))
+        (grads, loss, loss_d), _ = jax.lax.scan(scan_body, init, (batch, rngs))
+        grads = jax.tree.map(lambda g: g / accum, grads)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), params, updates)
+        return params, opt_state, {
+            "total_loss": loss / accum,
+            "loss_d": loss_d / accum,
+        }
+
+    return step
+
+
+def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
+    logger = logger or MetricsLogger(every=cfg.log_every)
+    compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
+
+    bundle = registry.load(
+        cfg.dataset,
+        cfg.data_path or cfg.dataset_folder,
+        split=cfg.dataset_split if cfg.dataset == registry.RecDataset.AMAZON else None,
+        synthetic_kwargs={
+            "n_items": cfg.synthetic_n_items,
+            "feature_dim": cfg.vae_input_dim,
+            "n_users": cfg.synthetic_n_users,
+            "seed": cfg.seed,
+        },
+    )
+    model_cfg = cfg.retrieval_config(bundle.max_seq_len)
+    sem_dim = model_cfg.sem_id_dim
+
+    vae_params, vae_cfg = load_frozen_rqvae(cfg)
+    index = semids.precompute_corpus_ids(
+        vae_params, vae_cfg, jnp.asarray(bundle.items.x)
+    )
+    max_dup = semids.max_duplicates(index)
+    if max_dup >= cfg.vae_codebook_size:
+        print(
+            f"WARNING: max dedup rank {max_dup} >= codebook size "
+            f"{cfg.vae_codebook_size}; the dedup dimension overflows the "
+            "sem-ID embedding range — train the RQ-VAE further.",
+            file=sys.stderr,
+        )
+
+    device_mesh = mesh_lib.make_mesh(cfg.mesh_shape)
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_key = jax.random.split(rng)
+    params = retrieval.init(init_key, model_cfg)
+
+    schedule = optim.inv_sqrt_schedule(cfg.learning_rate, cfg.warmup_steps)
+    opt = optim.adamw(schedule, cfg.weight_decay)
+    opt_state = opt.init(params)
+    start_iter = 0
+    if cfg.pretrained_decoder_path is not None:
+        state, meta = ckpt_lib.restore(
+            cfg.pretrained_decoder_path,
+            target=jax.device_get({"params": params, "opt_state": opt_state}),
+        )
+        params, opt_state = state["params"], state["opt_state"]
+        start_iter = meta["step"] + 1
+
+    shardings = (
+        mesh_lib.tp_param_shardings(params, device_mesh)
+        if cfg.tensor_parallel
+        else mesh_lib.dp_param_shardings(params, device_mesh)
+    )
+    params = jax.device_put(params, shardings)
+    opt_state = jax.device_put(
+        opt_state, mesh_lib.dp_param_shardings(opt_state, device_mesh)
+    )
+    index = jax.device_put(index, mesh_lib.replicated(device_mesh))
+
+    accum = max(1, cfg.gradient_accumulate_every)
+    step_fn = jax.jit(
+        make_train_step(model_cfg, opt, index, accum, compute_dtype, sem_dim),
+        donate_argnums=(0, 1),
+    )
+
+    @jax.jit
+    def eval_loss_fn(p, batch):
+        tok = semids.tokenize_sequences(index, batch)
+        out = retrieval.forward(p, model_cfg, tok, training=False)
+        return out.loss, out.loss_d
+
+    @jax.jit
+    def generate_fn(p, batch, r):
+        tok = semids.tokenize_sequences(index, batch)
+        gen = generation.generate_next_sem_ids(
+            p, model_cfg, index, tok._replace(
+                sem_ids_fut=None, token_type_ids_fut=None
+            ), r,
+            k=cfg.generation_top_k,
+            n_candidates=cfg.generation_candidates,
+            temperature=cfg.generation_temperature,
+        )
+        return gen, tok.sem_ids_fut
+
+    def sample_device_batch(host_rng) -> SeqBatch:
+        bs = [
+            make_seq_batch(
+                bundle.train_seqs.sample_batch(
+                    host_rng, cfg.batch_size, subsample=cfg.train_data_subsample
+                ),
+                bundle.items.x,
+            )
+            for _ in range(accum)
+        ]
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *bs)
+        return mesh_lib.shard_batch(
+            jax.tree.map(jnp.asarray, stacked), device_mesh, axis=1
+        )
+
+    host_rng = np.random.default_rng(cfg.seed)
+    metrics_acc = TopKAccumulator(ks=(1, 5, 10))
+    t_start = time.monotonic()
+    examples_seen = 0
+
+    for it in range(start_iter, start_iter + cfg.iterations):
+        batch = sample_device_batch(host_rng)
+        rng, step_key = jax.random.split(rng)
+        params, opt_state, metrics = step_fn(params, opt_state, batch, step_key)
+        examples_seen += accum * cfg.batch_size
+
+        if (it + 1) % cfg.log_every == 0 or it == start_iter:
+            m = jax.device_get(metrics)
+            loss_d = m.pop("loss_d")
+            m.update({f"loss_{d}": loss_d[d] for d in range(sem_dim)})
+            m["learning_rate"] = float(schedule(it + 1))
+            m["examples_per_s"] = examples_seen / (time.monotonic() - t_start)
+            logger.log(it + 1, m, force=True)
+
+        last = it + 1 == start_iter + cfg.iterations
+        if (it + 1) % cfg.partial_eval_every == 0 or last:
+            losses = []
+            for eb in range(min(cfg.eval_batches,
+                                max(1, len(bundle.eval_seqs) // cfg.batch_size))):
+                lo = eb * cfg.batch_size
+                idx = np.arange(lo, min(lo + cfg.batch_size, len(bundle.eval_seqs)))
+                if idx.size == 0:
+                    break
+                b = make_seq_batch(bundle.eval_seqs.batch_at(idx), bundle.items.x)
+                l, _ = eval_loss_fn(params, jax.tree.map(jnp.asarray, b))
+                losses.append(float(l))
+            logger.log(it + 1, {"eval_loss": float(np.mean(losses))}, force=True)
+
+        if (it + 1) % cfg.full_eval_every == 0 or last:
+            metrics_acc.reset()
+            n_eval = min(cfg.eval_batches * cfg.batch_size, len(bundle.eval_seqs))
+            for lo in range(0, n_eval, cfg.batch_size):
+                idx = np.arange(lo, min(lo + cfg.batch_size, n_eval))
+                b = make_seq_batch(bundle.eval_seqs.batch_at(idx), bundle.items.x)
+                rng, gen_key = jax.random.split(rng)
+                gen, actual = generate_fn(
+                    params, jax.tree.map(jnp.asarray, b), gen_key
+                )
+                metrics_acc.accumulate(actual, gen.sem_ids)
+            logger.log(it + 1, metrics_acc.reduce(), force=True)
+
+        if (it + 1) % cfg.save_model_every == 0 or last:
+            ckpt_lib.save(
+                cfg.save_dir_root,
+                it,
+                {"params": params, "opt_state": opt_state},
+                meta={"config": config_lib.config_to_dict(cfg)},
+            )
+
+    return params
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    path = argv[0] if argv and "=" not in argv[0] else None
+    overrides = argv[1:] if path else argv
+    cfg = config_lib.load_config(DecoderTrainConfig, path, overrides)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,320 @@
+"""Stage-1 training: the RQ-VAE tokenizer.
+
+Parity: reference train_rqvae.py:24-255, re-architected as ONE jit-compiled
+update step over a device mesh:
+
+  * kwargs surface: every reference train() parameter has a config field
+    (RqVaeTrainConfig), same defaults (train_rqvae.py:24-55).
+  * iter-0 kmeans priming on a <=20k-item batch (train_rqvae.py:139-141),
+    per-level sequential (see models/rqvae.kmeans_prime).
+  * gumbel temperature hardcoded t=0.2 (train_rqvae.py:138 — the reference's
+    TemperatureScheduler exists but is unused; we expose the constant).
+  * gradient accumulation via lax.scan inside the step (reference loops
+    microbatches on host, train_rqvae.py:144-151).
+  * eval-split losses + ID-diversity metrics every eval_every: corpus
+    re-tokenization, rqvae_entropy, codebook_usage_{i}, max_id_duplicates
+    (train_rqvae.py:223-239) — these gate downstream recall, all kept.
+  * checkpoints {params, opt_state} + meta{step, config}; resume restores
+    optimizer state and step (train_rqvae.py:108-113).
+  * NO per-step host syncs: the reference calls .cpu().item() on three
+    losses every iteration (train_rqvae.py:155-157); here metrics come back
+    once per log_every through a single device_get.
+
+Data parallelism: the global batch is sharded over the mesh 'data' axis;
+XLA inserts the grad psum (the reference needed Accelerate/DDP/NCCL).
+"""
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rqvae_tpu.data import registry
+from rqvae_tpu.models import rqvae as rqvae_lib
+from rqvae_tpu.models.quantize import QuantizeForwardMode
+from rqvae_tpu.parallel import mesh as mesh_lib
+from rqvae_tpu.tokenizer import semids
+from rqvae_tpu.train import checkpoint as ckpt_lib
+from rqvae_tpu.train import optim
+from rqvae_tpu.utils import config as config_lib
+from rqvae_tpu.utils.logging import MetricsLogger
+
+
+@dataclasses.dataclass(frozen=True)
+class RqVaeTrainConfig:
+    # ---- reference train() kwargs (train_rqvae.py:24-55) ----
+    iterations: int = 50000
+    batch_size: int = 64
+    learning_rate: float = 0.0001
+    weight_decay: float = 0.01
+    dataset_folder: str = "dataset/ml-1m"
+    dataset: registry.RecDataset = registry.RecDataset.ML_1M
+    pretrained_rqvae_path: Optional[str] = None
+    save_dir_root: str = "out/rqvae/"
+    use_kmeans_init: bool = True
+    split_batches: bool = True          # parity flag; batch_size is global
+    amp: bool = False                    # bf16 compute when True
+    do_eval: bool = True
+    force_dataset_process: bool = False
+    mixed_precision_type: str = "bf16"   # reference default fp16; TPU -> bf16
+    gradient_accumulate_every: int = 1
+    save_model_every: int = 1000000
+    eval_every: int = 50000
+    commitment_weight: float = 0.25
+    vae_n_cat_feats: int = 18
+    vae_input_dim: int = 18
+    vae_embed_dim: int = 16
+    vae_hidden_dims: Tuple[int, ...] = (18, 18)
+    vae_codebook_size: int = 32
+    vae_codebook_normalize: bool = False
+    vae_codebook_mode: QuantizeForwardMode = QuantizeForwardMode.GUMBEL_SOFTMAX
+    vae_sim_vq: bool = False
+    vae_n_layers: int = 3
+    dataset_split: str = "beauty"
+    data_path: Optional[str] = None
+    # ---- framework knobs ----
+    seed: int = 42
+    log_every: int = 100
+    gumbel_temperature: float = 0.2      # reference hardcodes t=0.2
+    kmeans_prime_items: int = 20000
+    eval_batches: int = 50
+    mesh_shape: Optional[Tuple[int, ...]] = None
+    synthetic_n_items: int = 2048
+    synthetic_n_users: int = 2048
+
+    def model_config(self) -> rqvae_lib.RqVaeConfig:
+        return rqvae_lib.RqVaeConfig(
+            input_dim=self.vae_input_dim,
+            embed_dim=self.vae_embed_dim,
+            hidden_dims=self.vae_hidden_dims,
+            codebook_size=self.vae_codebook_size,
+            n_layers=self.vae_n_layers,
+            n_cat_feats=self.vae_n_cat_feats,
+            commitment_weight=self.commitment_weight,
+            codebook_mode=self.vae_codebook_mode,
+            codebook_normalize=self.vae_codebook_normalize,
+            codebook_sim_vq=self.vae_sim_vq,
+            codebook_kmeans_init=self.use_kmeans_init
+            and self.pretrained_rqvae_path is None,
+        )
+
+
+def make_train_step(model_cfg, opt, gumbel_t, accum, compute_dtype):
+    """One jit step: (params, opt_state, x(accum, B, D), rng) -> updated."""
+
+    def microbatch_loss(params, x, rng):
+        x = x.astype(compute_dtype)
+        out = rqvae_lib.forward(
+            params, model_cfg, x, gumbel_t=gumbel_t, training=True, rng=rng
+        )
+        return out.loss, out
+
+    def step(params, opt_state, x, rng):
+        rngs = jax.random.split(rng, accum)
+
+        def scan_body(carry, inp):
+            grads_acc, loss_acc, recon_acc, vq_acc, pu_acc = carry
+            xb, r = inp
+            (loss, out), grads = jax.value_and_grad(
+                microbatch_loss, has_aux=True
+            )(params, xb, r)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (
+                grads_acc,
+                loss_acc + loss,
+                recon_acc + out.reconstruction_loss,
+                vq_acc + out.rqvae_loss,
+                pu_acc + out.p_unique_ids,
+            ), out.embs_norm
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        init = (zeros, 0.0, 0.0, 0.0, 0.0)
+        (grads, loss, recon, vq, pu), embs_norm = jax.lax.scan(
+            scan_body, init, (x, rngs)
+        )
+        grads = jax.tree.map(lambda g: g / accum, grads)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree.map(
+            lambda p, u: p + u.astype(p.dtype), params, updates
+        )
+        metrics = {
+            "total_loss": loss / accum,
+            "reconstruction_loss": recon / accum,
+            "rqvae_loss": vq / accum,
+            "p_unique_ids": pu / accum,
+            "embs_norm_mean": jnp.mean(embs_norm, axis=(0, 1)),  # (L,)
+        }
+        return params, opt_state, metrics
+
+    return step
+
+
+def make_eval_step(model_cfg, gumbel_t, compute_dtype):
+    @jax.jit
+    def eval_step(params, x):
+        out = rqvae_lib.forward(
+            params, model_cfg, x.astype(compute_dtype),
+            gumbel_t=gumbel_t, training=False,
+        )
+        return out.loss, out.reconstruction_loss, out.rqvae_loss
+
+    return eval_step
+
+
+def id_diversity_metrics(params, model_cfg, corpus_x) -> dict:
+    """rqvae_entropy / codebook_usage_i / max_id_duplicates
+    (reference train_rqvae.py:223-239)."""
+    index = semids.precompute_corpus_ids(params, model_cfg, corpus_x)
+    cached = np.asarray(index.cached_ids)
+    n = cached.shape[0]
+    out = {"max_id_duplicates": cached[:, -1].max() / n}
+    _, counts = np.unique(cached[:, :-1], axis=0, return_counts=True)
+    p = counts / n
+    out["rqvae_entropy"] = float(-(p * np.log(p)).sum())
+    for level in range(cached.shape[1] - 1):
+        out[f"codebook_usage_{level}"] = (
+            len(np.unique(cached[:, level])) / model_cfg.codebook_size
+        )
+    return out
+
+
+def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
+    logger = logger or MetricsLogger(every=cfg.log_every)
+    model_cfg = cfg.model_config()
+    compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
+
+    bundle = registry.load(
+        cfg.dataset,
+        cfg.data_path or cfg.dataset_folder,
+        split=cfg.dataset_split if cfg.dataset == registry.RecDataset.AMAZON else None,
+        need_seqs=False,
+        synthetic_kwargs={
+            "n_items": cfg.synthetic_n_items,
+            "feature_dim": cfg.vae_input_dim,
+            "n_users": cfg.synthetic_n_users,
+            "seed": cfg.seed,
+        },
+    )
+    items = bundle.items
+    train_x = items.filtered("train" if cfg.do_eval else "all")
+    eval_x = items.filtered("eval") if cfg.do_eval else None
+    index_x = items.filtered("all")
+
+    device_mesh = mesh_lib.make_mesh(cfg.mesh_shape)
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_key = jax.random.split(rng)
+    params = rqvae_lib.init(init_key, model_cfg)
+
+    opt = optim.adamw(cfg.learning_rate, cfg.weight_decay)
+    opt_state = opt.init(params)
+    start_iter = 0
+
+    if cfg.pretrained_rqvae_path is not None:
+        state, meta = ckpt_lib.restore(
+            cfg.pretrained_rqvae_path,
+            target=jax.device_get({"params": params, "opt_state": opt_state}),
+        )
+        params, opt_state = state["params"], state["opt_state"]
+        start_iter = meta["step"] + 1
+        print(f"---Loaded RQVAE Iter {meta['step']}---", file=sys.stderr)
+
+    # replicate state over the mesh; shard batches over 'data'
+    rep = mesh_lib.dp_param_shardings(params, device_mesh)
+    params = jax.device_put(params, rep)
+    opt_state = jax.device_put(
+        opt_state, mesh_lib.dp_param_shardings(opt_state, device_mesh)
+    )
+
+    if start_iter == 0 and cfg.use_kmeans_init:
+        n_prime = min(cfg.kmeans_prime_items, train_x.shape[0])
+        rng, prime_key = jax.random.split(rng)
+        params = rqvae_lib.kmeans_prime(
+            params,
+            model_cfg,
+            jnp.asarray(train_x[:n_prime]),
+            prime_key,
+            gumbel_t=cfg.gumbel_temperature,
+        )
+        params = jax.device_put(params, rep)
+
+    accum = max(1, cfg.gradient_accumulate_every)
+    step_fn = jax.jit(
+        make_train_step(
+            model_cfg, opt, cfg.gumbel_temperature, accum, compute_dtype
+        ),
+        donate_argnums=(0, 1),
+    )
+    eval_fn = make_eval_step(model_cfg, cfg.gumbel_temperature, compute_dtype)
+
+    host_rng = np.random.default_rng(cfg.seed)
+    t_start = time.monotonic()
+    examples_seen = 0
+    for it in range(start_iter, start_iter + cfg.iterations):
+        idx = host_rng.integers(0, train_x.shape[0], size=(accum, cfg.batch_size))
+        batch = mesh_lib.shard_batch(
+            jnp.asarray(train_x[idx]).reshape(accum, cfg.batch_size, -1),
+            device_mesh,
+            axis=1,
+        )
+        rng, step_key = jax.random.split(rng)
+        params, opt_state, metrics = step_fn(params, opt_state, batch, step_key)
+        examples_seen += accum * cfg.batch_size
+
+        if (it + 1) % cfg.log_every == 0 or it == start_iter:
+            m = jax.device_get(metrics)
+            embs = m.pop("embs_norm_mean")
+            m.update({f"emb_avg_norm_{i}": embs[i] for i in range(len(embs))})
+            m["examples_per_s"] = examples_seen / (time.monotonic() - t_start)
+            m["temperature"] = cfg.gumbel_temperature
+            m["learning_rate"] = cfg.learning_rate
+            logger.log(it + 1, m, force=True)
+
+        last = it + 1 == start_iter + cfg.iterations
+        if cfg.do_eval and ((it + 1) % cfg.eval_every == 0 or last):
+            losses = []
+            for eb in range(cfg.eval_batches):
+                lo = eb * cfg.batch_size
+                if lo >= eval_x.shape[0]:
+                    break
+                xe = eval_x[lo: lo + cfg.batch_size]
+                losses.append([float(v) for v in eval_fn(params, jnp.asarray(xe))])
+            ev = np.asarray(losses).mean(axis=0)
+            div = id_diversity_metrics(params, model_cfg, jnp.asarray(index_x))
+            logger.log(
+                it + 1,
+                {
+                    "eval_total_loss": ev[0],
+                    "eval_reconstruction_loss": ev[1],
+                    "eval_rqvae_loss": ev[2],
+                    **div,
+                },
+                force=True,
+            )
+
+        if (it + 1) % cfg.save_model_every == 0 or last:
+            ckpt_lib.save(
+                cfg.save_dir_root,
+                it,
+                {"params": params, "opt_state": opt_state},
+                meta={"config": config_lib.config_to_dict(cfg)},
+            )
+
+    return params
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    path = argv[0] if argv and "=" not in argv[0] else None
+    overrides = argv[1:] if path else argv
+    cfg = config_lib.load_config(RqVaeTrainConfig, path, overrides)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()
