@@ -80,9 +80,9 @@ def load(
     if not os.path.exists(items_path):
         raise FileNotFoundError(
             f"Missing preprocessed artifacts at {d}. Run the offline "
-            f"preprocessing first, e.g.: python -m rqvae_tpu.data."
-            f"{dataset.name.lower().replace('_', '')} --root {root}"
-            + (f" --split {split}" if split else "")
+            "preprocessing first: python -m rqvae_tpu.data.amazon --root "
+            f"{root} --split {split or 'beauty'}  (or python -m "
+            f"rqvae_tpu.data.movielens --root {root} --variant ml1m|ml32m)"
         )
     items = load_item_dataset(items_path)
     if not need_seqs:

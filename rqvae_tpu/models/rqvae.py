@@ -196,6 +196,42 @@ def forward(
     )
 
 
+def effective_codebooks(params, cfg: RqVaeConfig) -> jax.Array:
+    """(L, K, D) stack of post-SimVQ / post-norm codebooks, one per level
+    (the per-level out_proj of reference modules/quantize.py:70-73,105)."""
+    return jnp.stack(
+        [
+            quantize.effective_codebook(
+                params["layers"][level],
+                normalize=(level == 0 and cfg.codebook_normalize),
+            )
+            for level in range(cfg.n_layers)
+        ],
+        axis=0,
+    )
+
+
+def encode_and_tokenize(params, cfg: RqVaeConfig, x: jax.Array) -> jax.Array:
+    """Hard-argmin tokenization: encoder MLP + the fused Pallas RQ kernel.
+
+    Semantics match ``get_semantic_ids(...).sem_ids`` in eval mode; used for
+    corpus precompute and any ids-only path. Falls back to the jnp reference
+    when Pallas is disabled (RQVAE_TPU_DISABLE_PALLAS=1).
+    """
+    from rqvae_tpu.ops import dispatch
+
+    if not dispatch.pallas_enabled():
+        return get_semantic_ids(params, cfg, x).sem_ids
+
+    from rqvae_tpu.ops import quantize_pallas
+
+    z = encode(params, cfg, x)
+    cbs = effective_codebooks(params, cfg)
+    return quantize_pallas.rq_tokenize(
+        z, cbs, commitment_weight=cfg.commitment_weight
+    ).sem_ids
+
+
 def kmeans_prime(
     params,
     cfg: RqVaeConfig,

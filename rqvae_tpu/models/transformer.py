@@ -96,27 +96,29 @@ def _dropout(x, p, training, rng):
     return jnp.where(keep, x / (1.0 - p), 0.0), rng
 
 
-def _self_attention(p, x, num_heads, mask):
+def _self_attention(p, x, num_heads, *, causal, k_mask):
     qkv = x @ p["wqkv"].astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    out = attn_ops.sdpa(
+    out = attn_ops.attend(
         attn_ops.split_heads(q, num_heads),
         attn_ops.split_heads(k, num_heads),
         attn_ops.split_heads(v, num_heads),
-        mask,
+        causal=causal,
+        k_mask=k_mask,
     )
     return attn_ops.merge_heads(out) @ p["proj"].astype(x.dtype)
 
 
-def _cross_attention(p, x, context, num_heads, mask):
+def _cross_attention(p, x, context, num_heads, *, k_mask):
     q = x @ p["wq"].astype(x.dtype)
     kv = context @ p["wkv"].astype(x.dtype)
     k, v = jnp.split(kv, 2, axis=-1)
-    out = attn_ops.sdpa(
+    out = attn_ops.attend(
         attn_ops.split_heads(q, num_heads),
         attn_ops.split_heads(k, num_heads),
         attn_ops.split_heads(v, num_heads),
-        mask,
+        causal=False,
+        k_mask=k_mask,
     )
     return attn_ops.merge_heads(out) @ p["proj"].astype(x.dtype)
 
@@ -126,21 +128,24 @@ def _block_apply(
     cfg: TransformerConfig,
     x: jax.Array,
     *,
-    self_mask,
+    causal: bool,
+    self_k_mask=None,
     context: Optional[jax.Array] = None,
-    cross_mask=None,
+    cross_k_mask=None,
     training: bool = False,
     rng: Optional[jax.Array] = None,
 ):
     h, rng = _dropout(rms_norm(x, p["attn_norm"]), cfg.dropout, training, rng)
-    attn_out = x + _self_attention(p["attn"], h, cfg.num_heads, self_mask)
+    attn_out = x + _self_attention(
+        p["attn"], h, cfg.num_heads, causal=causal, k_mask=self_k_mask
+    )
     if context is not None:
         # quirk parity: cross query reads the BLOCK INPUT x, not attn_out
         hc, rng = _dropout(
             rms_norm(x, p["cross_attn_norm"]), cfg.dropout, training, rng
         )
         attn_out = attn_out + _cross_attention(
-            p["cross_attn"], hc, context, cfg.num_heads, cross_mask
+            p["cross_attn"], hc, context, cfg.num_heads, k_mask=cross_k_mask
         )
     ff_in = rms_norm(attn_out, p["ff_norm"])
     if rng is not None:
@@ -164,12 +169,11 @@ def encode(
     rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Non-causal self-attention stack over the history."""
-    nc = context_in.shape[1]
-    mask = attn_ops.build_mask(nc, nc, causal=False, k_mask=context_mask)
     x = context_in
     for block in params["encoder"]:
         x, rng = _block_apply(
-            block, cfg, x, self_mask=mask, training=training, rng=rng
+            block, cfg, x, causal=False, self_k_mask=context_mask,
+            training=training, rng=rng,
         )
     return x
 
@@ -185,17 +189,14 @@ def decode(
     rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Causal self-attention + cross-attention to the encoder output."""
-    nf, nc = x.shape[1], context.shape[1]
-    self_mask = attn_ops.build_mask(nf, nf, causal=True)
-    cross_mask = attn_ops.build_mask(nf, nc, causal=False, k_mask=context_mask)
     for block in params["decoder"]:
         x, rng = _block_apply(
             block,
             cfg,
             x,
-            self_mask=self_mask,
+            causal=True,
             context=context,
-            cross_mask=cross_mask,
+            cross_k_mask=context_mask,
             training=training,
             rng=rng,
         )

@@ -70,6 +70,33 @@ def sdpa(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def attend(
+    q: jax.Array,  # (B, H, Nq, Dh)
+    k: jax.Array,  # (B, H, Nk, Dh)
+    v: jax.Array,  # (B, H, Nk, Dh)
+    *,
+    causal: bool = False,
+    k_mask: Optional[jax.Array] = None,  # (B, Nk) bool
+) -> jax.Array:
+    """Structured-mask attention entry point used by the transformer.
+
+    Routes to the fused Pallas flash kernel on TPU (no HBM score matrix)
+    when the sequences are long enough for score-matrix HBM traffic to
+    matter; below the threshold XLA's fused dense attention wins (measured:
+    at Amazon's 81 enc tokens the kernel's per-program overhead costs ~40%
+    of step throughput, at ML's 801 tokens the fusion wins). Both paths are
+    parity-locked by tests.
+    """
+    from rqvae_tpu.ops import dispatch
+
+    if dispatch.pallas_enabled() and q.shape[2] >= 256 and k.shape[2] >= 256:
+        from rqvae_tpu.ops import flash_attention as fa
+
+        return fa.flash_attention(q, k, v, k_mask=k_mask, causal=causal)
+    mask = build_mask(q.shape[2], k.shape[2], causal=causal, k_mask=k_mask)
+    return sdpa(q, k, v, mask)
+
+
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
     b, n, d = x.shape
     return x.reshape(b, n, num_heads, d // num_heads).transpose(0, 2, 1, 3)

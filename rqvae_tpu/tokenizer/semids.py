@@ -139,7 +139,7 @@ def precompute_corpus_ids(
     chunks = x_padded.reshape(-1, chunk_size, corpus_x.shape[-1])
 
     def encode_chunk(xc):
-        return rqvae_lib.get_semantic_ids(params, cfg, xc).sem_ids
+        return rqvae_lib.encode_and_tokenize(params, cfg, xc)
 
     sem_ids = jax.lax.map(encode_chunk, chunks).reshape(-1, cfg.n_layers)[:n]
     dedup = dedup_column(sem_ids, cfg.codebook_size)
@@ -225,4 +225,4 @@ def tokenize_items_fresh(
 ) -> jax.Array:
     """Fresh-encode path (no cache): raw features -> n_layers-tuple ids
     (reference semids.py:131-135)."""
-    return rqvae_lib.get_semantic_ids(params, cfg, x).sem_ids
+    return rqvae_lib.encode_and_tokenize(params, cfg, x)

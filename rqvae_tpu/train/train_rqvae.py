@@ -173,6 +173,8 @@ def id_diversity_metrics(params, model_cfg, corpus_x) -> dict:
     index = semids.precompute_corpus_ids(params, model_cfg, corpus_x)
     cached = np.asarray(index.cached_ids)
     n = cached.shape[0]
+    # normalized by corpus size, exactly as the reference logs it
+    # (train_rqvae.py:227: corpus_ids[:,-1].max() / corpus_ids.shape[0])
     out = {"max_id_duplicates": cached[:, -1].max() / n}
     _, counts = np.unique(cached[:, :-1], axis=0, return_counts=True)
     p = counts / n
