@@ -175,8 +175,11 @@ def forward(
     x_hat = decode(params, cfg, jnp.sum(out.embeddings, axis=-1))
     x_hat = _split_l2norm(x_hat, cfg.n_cat_feats)
 
-    recon = categorical_reconstruction_loss(x_hat, x, cfg.n_cat_feats)
-    loss = jnp.mean(recon + out.quantize_loss)
+    # fp32 loss island under bf16 compute (utils/amp.py)
+    recon = categorical_reconstruction_loss(x_hat, x, cfg.n_cat_feats).astype(
+        jnp.float32
+    )
+    loss = jnp.mean(recon + out.quantize_loss.astype(jnp.float32))
 
     sg = jax.lax.stop_gradient
     embs_norm = jnp.linalg.norm(sg(out.embeddings), axis=1)  # (B, L)

@@ -40,7 +40,9 @@ from rqvae_tpu.parallel import mesh as mesh_lib
 from rqvae_tpu.tokenizer import semids
 from rqvae_tpu.train import checkpoint as ckpt_lib
 from rqvae_tpu.train import optim
+from rqvae_tpu.utils import amp
 from rqvae_tpu.utils import config as config_lib
+from rqvae_tpu.utils import profiling
 from rqvae_tpu.utils.logging import MetricsLogger
 
 
@@ -82,6 +84,7 @@ class DecoderTrainConfig:
     train_data_subsample: bool = True
     # ---- framework knobs ----
     seed: int = 42
+    prng_impl: str = "rbg"               # see train_rqvae.RqVaeTrainConfig
     log_every: int = 100
     warmup_steps: int = 10000            # reference train_decoder.py:159
     eval_batches: int = 32
@@ -93,6 +96,9 @@ class DecoderTrainConfig:
     synthetic_n_items: int = 2048
     synthetic_n_users: int = 2048
     data_path: Optional[str] = None
+    profile_dir: Optional[str] = None    # capture a jax.profiler trace
+    profile_start: int = 10
+    profile_steps: int = 5
 
     def vae_config(self) -> rqvae_lib.RqVaeConfig:
         return rqvae_lib.RqVaeConfig(
@@ -139,8 +145,10 @@ def load_frozen_rqvae(cfg: DecoderTrainConfig):
 
 def make_train_step(model_cfg, opt, index, accum, compute_dtype, sem_dim):
     def microbatch_loss(params, batch: SeqBatch, rng):
+        # bf16 compute / fp32 master params when amp is on (utils/amp.py)
+        p = amp.cast_floating(params, compute_dtype)
         tok = semids.tokenize_sequences(index, batch)
-        out = retrieval.forward(params, model_cfg, tok, training=True, rng=rng)
+        out = retrieval.forward(p, model_cfg, tok, training=True, rng=rng)
         return out.loss, out.loss_d
 
     def step(params, opt_state, batch, rng):
@@ -204,7 +212,7 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
         )
 
     device_mesh = mesh_lib.make_mesh(cfg.mesh_shape)
-    rng = jax.random.PRNGKey(cfg.seed)
+    rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)
     rng, init_key = jax.random.split(rng)
     params = retrieval.init(init_key, model_cfg)
 
@@ -273,10 +281,14 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
 
     host_rng = np.random.default_rng(cfg.seed)
     metrics_acc = TopKAccumulator(ks=(1, 5, 10))
+    profiler = profiling.StepProfiler(
+        cfg.profile_dir, cfg.profile_start, cfg.profile_steps
+    )
     t_start = time.monotonic()
     examples_seen = 0
 
     for it in range(start_iter, start_iter + cfg.iterations):
+        profiler.step(it - start_iter)
         batch = sample_device_batch(host_rng)
         rng, step_key = jax.random.split(rng)
         params, opt_state, metrics = step_fn(params, opt_state, batch, step_key)
@@ -325,6 +337,7 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
                 meta={"config": config_lib.config_to_dict(cfg)},
             )
 
+    profiler.close()
     return params
 
 

@@ -42,7 +42,9 @@ from rqvae_tpu.parallel import mesh as mesh_lib
 from rqvae_tpu.tokenizer import semids
 from rqvae_tpu.train import checkpoint as ckpt_lib
 from rqvae_tpu.train import optim
+from rqvae_tpu.utils import amp
 from rqvae_tpu.utils import config as config_lib
+from rqvae_tpu.utils import profiling
 from rqvae_tpu.utils.logging import MetricsLogger
 
 
@@ -80,6 +82,10 @@ class RqVaeTrainConfig:
     data_path: Optional[str] = None
     # ---- framework knobs ----
     seed: int = 42
+    # 'rbg' is ~30% faster per step on TPU than jax's default threefry (the
+    # dropout/gumbel mask generation is a measured 11ms of a 36ms decoder
+    # step at bs=256); 'threefry2x32' restores cross-backend reproducibility.
+    prng_impl: str = "rbg"
     log_every: int = 100
     gumbel_temperature: float = 0.2      # reference hardcodes t=0.2
     kmeans_prime_items: int = 20000
@@ -87,6 +93,9 @@ class RqVaeTrainConfig:
     mesh_shape: Optional[Tuple[int, ...]] = None
     synthetic_n_items: int = 2048
     synthetic_n_users: int = 2048
+    profile_dir: Optional[str] = None    # capture a jax.profiler trace
+    profile_start: int = 10
+    profile_steps: int = 5
 
     def model_config(self) -> rqvae_lib.RqVaeConfig:
         return rqvae_lib.RqVaeConfig(
@@ -109,9 +118,11 @@ def make_train_step(model_cfg, opt, gumbel_t, accum, compute_dtype):
     """One jit step: (params, opt_state, x(accum, B, D), rng) -> updated."""
 
     def microbatch_loss(params, x, rng):
+        # bf16 compute / fp32 master params when amp is on (utils/amp.py)
+        p = amp.cast_floating(params, compute_dtype)
         x = x.astype(compute_dtype)
         out = rqvae_lib.forward(
-            params, model_cfg, x, gumbel_t=gumbel_t, training=True, rng=rng
+            p, model_cfg, x, gumbel_t=gumbel_t, training=True, rng=rng
         )
         return out.loss, out
 
@@ -209,7 +220,7 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
     index_x = items.filtered("all")
 
     device_mesh = mesh_lib.make_mesh(cfg.mesh_shape)
-    rng = jax.random.PRNGKey(cfg.seed)
+    rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)
     rng, init_key = jax.random.split(rng)
     params = rqvae_lib.init(init_key, model_cfg)
 
@@ -255,9 +266,13 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
     eval_fn = make_eval_step(model_cfg, cfg.gumbel_temperature, compute_dtype)
 
     host_rng = np.random.default_rng(cfg.seed)
+    profiler = profiling.StepProfiler(
+        cfg.profile_dir, cfg.profile_start, cfg.profile_steps
+    )
     t_start = time.monotonic()
     examples_seen = 0
     for it in range(start_iter, start_iter + cfg.iterations):
+        profiler.step(it - start_iter)
         idx = host_rng.integers(0, train_x.shape[0], size=(accum, cfg.batch_size))
         batch = mesh_lib.shard_batch(
             jnp.asarray(train_x[idx]).reshape(accum, cfg.batch_size, -1),
@@ -307,6 +322,7 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
                 meta={"config": config_lib.config_to_dict(cfg)},
             )
 
+    profiler.close()
     return params
 
 
