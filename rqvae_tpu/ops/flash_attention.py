@@ -38,15 +38,17 @@ NEG_INF = -1e30
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *,
                   causal: bool, block_q: int):
     i = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32)          # (TQ, Dh)
-    k = k_ref[0, 0].astype(jnp.float32)          # (Nk, Dh)
-    v = v_ref[0, 0].astype(jnp.float32)          # (Nk, Dh)
+    # inputs stay in their storage dtype (bf16 under amp) so the MXU runs at
+    # native rate; accumulation is fp32 via preferred_element_type
+    q = q_ref[0, 0]                              # (TQ, Dh)
+    k = k_ref[0, 0]                              # (Nk, Dh)
+    v = v_ref[0, 0]                              # (Nk, Dh)
     kmask = mask_ref[0, 0] != 0                  # (Nk,)
 
     scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                    # (TQ, Nk)
+    ) * scale                                    # (TQ, Nk) fp32
 
     valid = jnp.broadcast_to(kmask[None, :], scores.shape)
     if causal:
@@ -63,7 +65,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *,
     any_valid = jnp.any(valid, axis=-1, keepdims=True)
     probs = jnp.where(any_valid, probs, 0.0)
     out = jax.lax.dot_general(
-        probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
