@@ -1,25 +1,42 @@
-"""Benchmark: decoder training throughput on the flagship (Amazon) config.
+"""Benchmark: decoder training throughput (the framework's headline metric).
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "examples/s", "vs_baseline": N}
 
+Default profile is the flagship Amazon config (reference decoder_amazon.gin:
+global batch 256, history 20 items x 4 sem-ID tokens + user token = 81 enc
+tokens, 8-layer / 512-wide transformer); ``--profile ml32m`` benchmarks the
+long-context MovieLens shape (200 items -> 801 enc tokens, batch 256) where
+the Pallas flash-attention path is live. Each step is the REAL train step
+from the decoder loop: corpus-ID tokenize -> forward -> backward -> AdamW,
+bf16 compute / fp32 state.
+
 The reference publishes no numbers (BASELINE.md), so vs_baseline ratchets
 against our own first measurement stored in BENCH_BASELINE.json (recorded on
-1 TPU v5e chip in round 1). Full corpus tokenization + forward + backward +
-AdamW per step, global batch 256, history 20 items x 4 sem-ID tokens + user
-token (81 enc tokens), 8-layer / 512-wide transformer — the reference's
-decoder_amazon.gin shapes.
+1 TPU v5e chip in round 1).
+
+Timing notes (measured on the axon TPU tunnel): steps are chained through
+donated (params, opt_state) so the loop is truly serialized, and ~20 warmup
+steps are run first — a fresh process's first steps execute well below
+steady state.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
 
 import numpy as np
 
+PROFILES = {
+    # name: (n_hist items, batch, corpus items)
+    "amazon": dict(n_hist=20, batch_size=256, n_items=12101),
+    "ml32m": dict(n_hist=200, batch_size=256, n_items=84432),
+}
 
-def main() -> None:
+
+def run_profile(name: str) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -30,20 +47,17 @@ def main() -> None:
     from rqvae_tpu.train import optim
     from rqvae_tpu.train.train_decoder import make_train_step
 
+    p = PROFILES[name]
+    n_hist, batch_size, n_items = p["n_hist"], p["batch_size"], p["n_items"]
     cfg = RetrievalConfig(
         embedding_dim=128, attn_dim=512, dropout=0.3, num_heads=8, n_layers=8,
-        num_embeddings=256, sem_id_dim=4, max_pos=80,
+        num_embeddings=256, sem_id_dim=4, max_pos=n_hist * 4,
     )
-    batch_size = 256
-    n_items = 12101  # Amazon Beauty corpus size
-    n_hist = 20
     rng = np.random.RandomState(0)
 
     # corpus index (deduped tuples, as after stage-1)
     base = rng.randint(0, 256, (n_items, 3)).astype(np.int32)
-    dedup = np.asarray(
-        semids.dedup_column(jnp.asarray(base), 256)
-    )
+    dedup = np.asarray(semids.dedup_column(jnp.asarray(base), 256))
     cached = np.concatenate([base, dedup[:, None]], axis=1).astype(np.int32)
     index = semids.build_index(jnp.asarray(cached), codebook_size=256)
 
@@ -66,44 +80,57 @@ def main() -> None:
         seq_mask=jnp.asarray(mask[None]),
     )
 
-    # the REAL train step from the decoder loop: tokenize -> forward ->
-    # backward -> AdamW, bf16 compute / fp32 state (the TPU-native default)
     train_step = jax.jit(
         make_train_step(cfg, opt, index, 1, jnp.bfloat16, 4),
         donate_argnums=(0, 1),
     )
 
     key = jax.random.key(1, impl="rbg")  # the train loop's default PRNG
-    # warmup: compile + ~20 steps (a fresh process's first steps run well
-    # below steady state — measured 3.8k vs 10.1k ex/s on the same step)
-    for _ in range(20):
+    for _ in range(20):  # compile + ramp past the fresh-process slow start
         key, sub = jax.random.split(key)
         params, opt_state, metrics = train_step(params, opt_state, batch, sub)
     jax.block_until_ready(metrics["total_loss"])
 
     n_steps = 50
     t0 = time.perf_counter()
-    for i in range(n_steps):
+    for _ in range(n_steps):
         key, sub = jax.random.split(key)
         params, opt_state, metrics = train_step(params, opt_state, batch, sub)
-    jax.block_until_ready(metrics["total_loss"])
+    # chained state serializes the steps; the fetch forces completion
+    final_loss = float(metrics["total_loss"])
     dt = time.perf_counter() - t0
-    examples_per_s = n_steps * batch_size / dt
+    assert np.isfinite(final_loss), f"non-finite loss: {final_loss}"
+    return n_steps * batch_size / dt
 
-    baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--profile", default="amazon", choices=sorted(PROFILES))
+    args = ap.parse_args()
+    examples_per_s = run_profile(args.profile)
+
+    metric = f"decoder_train_examples_per_s_{args.profile}_bs256"
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
+    )
+    baselines = {}
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
-            baseline = json.load(f)["value"]
-    else:
+            baselines = json.load(f)
+        if "metric" in baselines:  # legacy single-metric layout
+            baselines = {baselines["metric"]: baselines["value"]}
+    legacy_key = "decoder_train_examples_per_s"  # round-1 amazon number
+    baseline = baselines.get(
+        metric, baselines.get(legacy_key if args.profile == "amazon" else "")
+    )
+    if baseline is None:
         baseline = examples_per_s
+        baselines[metric] = examples_per_s
         with open(baseline_path, "w") as f:
-            json.dump(
-                {"metric": "decoder_train_examples_per_s",
-                 "value": examples_per_s,
-                 "note": "round-1 measurement on 1x TPU v5e"}, f)
+            json.dump(baselines, f)
 
     print(json.dumps({
-        "metric": "decoder_train_examples_per_s_amazon_bs256",
+        "metric": metric,
         "value": round(examples_per_s, 2),
         "unit": "examples/s",
         "vs_baseline": round(examples_per_s / baseline, 4),

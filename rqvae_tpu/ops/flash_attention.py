@@ -15,10 +15,13 @@ consumes K/V in one shot per block — one pass, no online-softmax carry, and
 the (Nq, Nk) score matrix never exists in HBM. Inter-chip sequence
 parallelism would be pure overhead at these lengths.
 
-Backward: ``jax.custom_vjp`` whose backward recomputes probabilities in plain
-jnp (flash-style recompute instead of saving the score matrix). At Nk <= 801
-the backward matmuls are already MXU-bound under XLA fusion; a hand-written
-backward kernel is not the bottleneck.
+Backward: ``jax.custom_vjp`` with a fused Pallas backward kernel that
+recomputes probabilities per q-block (flash-style recompute — the (Nq, Nk)
+score/probability matrices never exist in HBM in either direction) and
+accumulates dk/dv in-place across the sequential q-block grid steps. A plain
+jnp backward at ML-32M training shapes (B=256, H=8, N=801, fp32) materializes
+two 5.2 GB probability tensors and OOMs a 16 GB chip; this kernel's HBM
+footprint is O(B*H*N*Dh), the same as the inputs.
 
 Parity-tested against ``rqvae_tpu.ops.attention.sdpa`` (values and gradients)
 in tests/test_flash_attention.py.
@@ -114,22 +117,109 @@ def _flash_forward(q, k, v, k_mask, *, causal: bool, block_q: int,
     return out[:, :, :nq]
 
 
-def _recompute_probs(q, k, v, k_mask, causal):
-    """fp32 probabilities, identical masking semantics to the kernel."""
-    nq, nk = q.shape[2], k.shape[2]
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
+                      dq_ref, dk_ref, dv_ref, *, causal: bool, block_q: int):
+    """Per-q-block backward: recompute p, then
+    ds = p * (dp - rowsum(dp * p)); dq = ds k; dk += ds^T q; dv += p^T g.
+    dk/dv blocks are revisited across the (sequential, minor) q-block grid
+    dimension and accumulated in fp32."""
+    i = pl.program_id(2)
+    q = q_ref[0, 0]                              # (TQ, Dh)
+    k = k_ref[0, 0]                              # (Nk, Dh)
+    v = v_ref[0, 0]                              # (Nk, Dh)
+    g = g_ref[0, 0].astype(jnp.float32)          # (TQ, Dh)
+    kmask = mask_ref[0, 0] != 0                  # (Nk,)
+
     scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    valid = jnp.broadcast_to(k_mask[:, None, None, :], scores.shape)
+    valid = jnp.broadcast_to(kmask[None, :], scores.shape)
     if causal:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 1)
-        valid = jnp.logical_and(valid, (cols <= rows)[None, None])
+        rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        valid = jnp.logical_and(valid, cols <= rows + i * block_q)
     scores = jnp.where(valid, scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
     any_valid = jnp.any(valid, axis=-1, keepdims=True)
-    return jnp.where(any_valid, probs, 0.0), scale
+    p = jnp.where(any_valid, p, 0.0)             # (TQ, Nk) fp32
+
+    dp = jax.lax.dot_general(                     # g v^T
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (TQ, Nk)
+
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dk_ref[0, 0] += jax.lax.dot_general(          # ds^T q
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dv_ref[0, 0] += jax.lax.dot_general(          # p^T g
+        p.astype(jnp.float32), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _flash_backward(q, k, v, k_mask, g, *, causal: bool, block_q: int,
+                    interpret: bool):
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    block_q = min(block_q, max(8, nq))
+    pad_q = (-nq) % block_q
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    nqp = nq + pad_q
+    mask_i32 = k_mask.astype(jnp.int32)[:, None, :]
+
+    kernel = functools.partial(_flash_bwd_kernel, causal=causal,
+                               block_q=block_q)
+    qkv_spec = pl.BlockSpec((1, 1, nk, dh), lambda b_, h_, i: (b_, h_, 0, 0),
+                            memory_space=pltpu.VMEM)
+    qblk_spec = pl.BlockSpec(
+        (1, 1, block_q, dh), lambda b_, h_, i: (b_, h_, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b, h, nqp // block_q),
+        in_specs=[
+            qblk_spec,
+            qkv_spec,
+            qkv_spec,
+            pl.BlockSpec((1, 1, nk), lambda b_, h_, i: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            qblk_spec,
+        ],
+        out_specs=[qblk_spec, qkv_spec, qkv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, nqp, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nk, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nk, dh), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * nqp * nk * dh,
+            bytes_accessed=4 * b * h * (4 * nqp * dh + 4 * nk * dh),
+            transcendentals=b * h * nqp * nk,
+        ),
+        interpret=interpret,
+    )(q, k, v, mask_i32, g)
+    return (
+        dq[:, :, :nq].astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -146,15 +236,9 @@ def _flash_fwd(q, k, v, k_mask, causal, block_q, interpret):
 
 def _flash_bwd(causal, block_q, interpret, res, g):
     q, k, v, k_mask = res
-    probs, scale = _recompute_probs(q, k, v, k_mask, causal)
-    g32 = g.astype(jnp.float32)
-    v32 = v.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", probs, g32)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v32)
-    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
-    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None)
+    dq, dk, dv = _flash_backward(q, k, v, k_mask, g, causal=causal,
+                                 block_q=block_q, interpret=interpret)
+    return (dq, dk, dv, None)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
