@@ -128,6 +128,21 @@ class DecoderTrainConfig:
         )
 
 
+def debug_metrics(seq_mask: np.ndarray, prefix: str, token_scale: int = 1) -> dict:
+    """Sequence-length quantiles (reference modules/utils.py:65-78; the
+    reference measures token-space lengths — item lengths x sem_id_dim —
+    so pass token_scale=sem_id_dim when the mask is item-space. Per-position
+    losses are logged separately as loss_{d})."""
+    lengths = (
+        np.asarray(seq_mask).sum(axis=-1).astype(np.float32).ravel()
+        * token_scale
+    )
+    return {
+        f"{prefix}_seq_length_p{q}": float(np.quantile(lengths, q))
+        for q in (0.25, 0.5, 0.75, 0.9, 1)
+    }
+
+
 def load_frozen_rqvae(cfg: DecoderTrainConfig):
     """Stage-1 -> stage-2 handoff (reference semids.py:42-58)."""
     vae_cfg = cfg.vae_config()
@@ -300,6 +315,11 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
             m.update({f"loss_{d}": loss_d[d] for d in range(sem_dim)})
             m["learning_rate"] = float(schedule(it + 1))
             m["examples_per_s"] = examples_seen / (time.monotonic() - t_start)
+            m.update(
+                debug_metrics(
+                    jax.device_get(batch.seq_mask), "train", sem_dim
+                )
+            )
             logger.log(it + 1, m, force=True)
 
         last = it + 1 == start_iter + cfg.iterations
@@ -314,7 +334,13 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
                 b = make_seq_batch(bundle.eval_seqs.batch_at(idx), bundle.items.x)
                 l, _ = eval_loss_fn(params, jax.tree.map(jnp.asarray, b))
                 losses.append(float(l))
-            logger.log(it + 1, {"eval_loss": float(np.mean(losses))}, force=True)
+                eval_mask = b.seq_mask
+            logger.log(
+                it + 1,
+                {"eval_loss": float(np.mean(losses)),
+                 **debug_metrics(eval_mask, "eval", sem_dim)},
+                force=True,
+            )
 
         if (it + 1) % cfg.full_eval_every == 0 or last:
             metrics_acc.reset()
