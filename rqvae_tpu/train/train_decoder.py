@@ -347,12 +347,22 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
             n_eval = min(cfg.eval_batches * cfg.batch_size, len(bundle.eval_seqs))
             for lo in range(0, n_eval, cfg.batch_size):
                 idx = np.arange(lo, min(lo + cfg.batch_size, n_eval))
+                n_real = idx.size
+                if n_real < cfg.batch_size:
+                    # pad the tail to a full batch: the 4-step beam-search
+                    # program is shape-specialized, and a one-off tail shape
+                    # would recompile it (~30s) for a few rows
+                    idx = np.concatenate(
+                        [idx, np.full(cfg.batch_size - n_real, idx[-1])]
+                    )
                 b = make_seq_batch(bundle.eval_seqs.batch_at(idx), bundle.items.x)
                 rng, gen_key = jax.random.split(rng)
                 gen, actual = generate_fn(
                     params, jax.tree.map(jnp.asarray, b), gen_key
                 )
-                metrics_acc.accumulate(actual, gen.sem_ids)
+                metrics_acc.accumulate(
+                    actual[:n_real], gen.sem_ids[:n_real]
+                )
             logger.log(it + 1, metrics_acc.reduce(), force=True)
 
         if (it + 1) % cfg.save_model_every == 0 or last:

@@ -42,6 +42,7 @@ from rqvae_tpu.parallel import mesh as mesh_lib
 from rqvae_tpu.tokenizer import semids
 from rqvae_tpu.train import checkpoint as ckpt_lib
 from rqvae_tpu.train import optim
+from rqvae_tpu.train import temperature
 from rqvae_tpu.utils import amp
 from rqvae_tpu.utils import config as config_lib
 from rqvae_tpu.utils import profiling
@@ -88,6 +89,11 @@ class RqVaeTrainConfig:
     prng_impl: str = "rbg"
     log_every: int = 100
     gumbel_temperature: float = 0.2      # reference hardcodes t=0.2
+    # opt-in exponential anneal (reference TemperatureScheduler, unused there)
+    gumbel_anneal: bool = False
+    gumbel_min_t: float = 0.05
+    gumbel_anneal_rate: float = 1e-5
+    gumbel_anneal_step_size: int = 1000
     kmeans_prime_items: int = 20000
     eval_batches: int = 50
     mesh_shape: Optional[Tuple[int, ...]] = None
@@ -114,10 +120,12 @@ class RqVaeTrainConfig:
         )
 
 
-def make_train_step(model_cfg, opt, gumbel_t, accum, compute_dtype):
-    """One jit step: (params, opt_state, x(accum, B, D), rng) -> updated."""
+def make_train_step(model_cfg, opt, accum, compute_dtype):
+    """One jit step: (params, opt_state, x(accum, B, D), rng, gumbel_t) ->
+    updated. gumbel_t is a traced scalar so an annealing schedule never
+    recompiles the step."""
 
-    def microbatch_loss(params, x, rng):
+    def microbatch_loss(params, x, rng, gumbel_t):
         # bf16 compute / fp32 master params when amp is on (utils/amp.py)
         p = amp.cast_floating(params, compute_dtype)
         x = x.astype(compute_dtype)
@@ -126,7 +134,7 @@ def make_train_step(model_cfg, opt, gumbel_t, accum, compute_dtype):
         )
         return out.loss, out
 
-    def step(params, opt_state, x, rng):
+    def step(params, opt_state, x, rng, gumbel_t):
         rngs = jax.random.split(rng, accum)
 
         def scan_body(carry, inp):
@@ -134,7 +142,7 @@ def make_train_step(model_cfg, opt, gumbel_t, accum, compute_dtype):
             xb, r = inp
             (loss, out), grads = jax.value_and_grad(
                 microbatch_loss, has_aux=True
-            )(params, xb, r)
+            )(params, xb, r, gumbel_t)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             return (
                 grads_acc,
@@ -258,12 +266,20 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
 
     accum = max(1, cfg.gradient_accumulate_every)
     step_fn = jax.jit(
-        make_train_step(
-            model_cfg, opt, cfg.gumbel_temperature, accum, compute_dtype
-        ),
+        make_train_step(model_cfg, opt, accum, compute_dtype),
         donate_argnums=(0, 1),
     )
     eval_fn = make_eval_step(model_cfg, cfg.gumbel_temperature, compute_dtype)
+    temp_sched = (
+        temperature.TemperatureScheduler(
+            t0=cfg.gumbel_temperature,
+            min_t=cfg.gumbel_min_t,
+            anneal_rate=cfg.gumbel_anneal_rate,
+            step_size=cfg.gumbel_anneal_step_size,
+        )
+        if cfg.gumbel_anneal
+        else temperature.ConstantTemperature(cfg.gumbel_temperature)
+    )
 
     host_rng = np.random.default_rng(cfg.seed)
     profiler = profiling.StepProfiler(
@@ -280,7 +296,10 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
             axis=1,
         )
         rng, step_key = jax.random.split(rng)
-        params, opt_state, metrics = step_fn(params, opt_state, batch, step_key)
+        gumbel_t = temp_sched.get_t(it)
+        params, opt_state, metrics = step_fn(
+            params, opt_state, batch, step_key, jnp.float32(gumbel_t)
+        )
         examples_seen += accum * cfg.batch_size
 
         if (it + 1) % cfg.log_every == 0 or it == start_iter:
@@ -288,7 +307,7 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
             embs = m.pop("embs_norm_mean")
             m.update({f"emb_avg_norm_{i}": embs[i] for i in range(len(embs))})
             m["examples_per_s"] = examples_seen / (time.monotonic() - t_start)
-            m["temperature"] = cfg.gumbel_temperature
+            m["temperature"] = gumbel_t
             m["learning_rate"] = cfg.learning_rate
             logger.log(it + 1, m, force=True)
 

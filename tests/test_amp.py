@@ -85,11 +85,11 @@ def test_rqvae_train_step_bf16_finite():
     params = rqvae.init(jax.random.PRNGKey(0), cfg)
     opt = optim.adamw(1e-3, 0.01)
     opt_state = opt.init(params)
-    step = jax.jit(rqvae_step(cfg, opt, 0.2, 1, jnp.bfloat16))
+    step = jax.jit(rqvae_step(cfg, opt, 1, jnp.bfloat16))
     x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 18), jnp.float32)
     for i in range(3):
         params, opt_state, metrics = step(
-            params, opt_state, x, jax.random.PRNGKey(i)
+            params, opt_state, x, jax.random.PRNGKey(i), jnp.float32(0.2)
         )
     assert np.isfinite(float(metrics["total_loss"]))
     assert params["layers"][0]["codebook"].dtype == jnp.float32

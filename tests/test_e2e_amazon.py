@@ -1,0 +1,99 @@
+"""Full-pipeline integration: raw Amazon files -> offline preprocessing ->
+RQ-VAE training -> decoder training with generative eval, all through the
+real dataset registry (not the synthetic path)."""
+import gzip
+import json
+
+import numpy as np
+import pytest
+
+from rqvae_tpu.data import amazon
+from rqvae_tpu.data.text import hashed_stub_encoder
+from rqvae_tpu.models.quantize import QuantizeForwardMode
+from rqvae_tpu.train import train_decoder, train_rqvae
+from rqvae_tpu.utils.config import from_dict
+from rqvae_tpu.utils.logging import MetricsLogger
+
+
+class CaptureLogger(MetricsLogger):
+    def __init__(self):
+        super().__init__(every=1)
+        self.records = []
+
+    def log(self, step, metrics, force=False):
+        self.records.append({"step": step, **metrics})
+
+
+@pytest.fixture
+def amazon_root(tmp_path):
+    raw = tmp_path / "raw" / "beauty"
+    raw.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    n_items, n_users = 40, 24
+    lines = []
+    for u in range(1, n_users + 1):
+        n = rng.randint(5, 12)
+        items = (rng.randint(0, n_items, n) + 1).tolist()
+        lines.append(" ".join(map(str, [u] + items)))
+    (raw / "sequential_data.txt").write_text("\n".join(lines) + "\n")
+    (raw / "datamaps.json").write_text(
+        json.dumps({"item2id": {f"A{i}": str(i) for i in range(1, n_items + 1)}})
+    )
+    with gzip.open(raw / "meta.json.gz", "wt") as f:
+        for i in range(1, n_items + 1):
+            f.write(repr({"asin": f"A{i}", "title": f"product {i}",
+                          "brand": "b", "categories": [["Beauty"]],
+                          "price": 1.0 * i}) + "\n")
+    amazon.process(str(tmp_path), "beauty",
+                   encode_fn=hashed_stub_encoder(dim=24))
+    return tmp_path
+
+
+def test_amazon_pipeline_end_to_end(amazon_root, tmp_path):
+    # ---- stage 1: RQ-VAE on the real AMAZON artifacts ----
+    log1 = CaptureLogger()
+    rq_cfg = from_dict(train_rqvae.RqVaeTrainConfig, dict(
+        iterations=40, batch_size=16, learning_rate=1e-3,
+        dataset="AMAZON", dataset_folder=str(amazon_root),
+        dataset_split="beauty",
+        vae_input_dim=24, vae_hidden_dims=(24, 16), vae_embed_dim=8,
+        vae_codebook_size=16, vae_n_cat_feats=0, vae_n_layers=3,
+        vae_codebook_mode=QuantizeForwardMode.GUMBEL_SOFTMAX,
+        eval_every=40, save_model_every=40,
+        save_dir_root=str(tmp_path / "rq"),
+        log_every=10, kmeans_prime_items=40, eval_batches=1, seed=0,
+    ))
+    train_rqvae.train(rq_cfg, logger=log1)
+    losses = [r["total_loss"] for r in log1.records if "total_loss" in r]
+    assert losses[-1] < losses[0], "rqvae loss should decrease"
+    div = [r for r in log1.records if "rqvae_entropy" in r]
+    assert div and div[-1]["rqvae_entropy"] > 0
+
+    assert sorted((tmp_path / "rq").glob("step_*")), "stage-1 checkpoint missing"
+
+    # ---- stage 2: decoder consumes the stage-1 checkpoint ----
+    log2 = CaptureLogger()
+    dec_cfg = from_dict(train_decoder.DecoderTrainConfig, dict(
+        iterations=25, batch_size=8, learning_rate=1e-3,
+        dataset="AMAZON", dataset_folder=str(amazon_root),
+        dataset_split="beauty",
+        pretrained_rqvae_path=str(tmp_path / "rq"),
+        vae_input_dim=24, vae_hidden_dims=(24, 16), vae_embed_dim=8,
+        vae_codebook_size=16, vae_n_cat_feats=0, vae_n_layers=3,
+        decoder_embed_dim=16, attn_embed_dim=32, attn_heads=4, attn_layers=2,
+        dropout_p=0.1, partial_eval_every=25, full_eval_every=25,
+        save_model_every=25, save_dir_root=str(tmp_path / "dec"),
+        log_every=5, eval_batches=2, generation_candidates=16,
+        generation_top_k=8, seed=0,
+    ))
+    train_decoder.train(dec_cfg, logger=log2)
+
+    losses = [r["total_loss"] for r in log2.records if "total_loss" in r]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    # full generative eval ran and produced the h@k metric family + quantiles
+    gen = [r for r in log2.records if "h@1_slice_:1" in r]
+    assert gen, "generative eval metrics missing"
+    assert all(0.0 <= v <= 1.0 for k, v in gen[-1].items()
+               if k.startswith(("h@", "ndcg@")))
+    dbg = [r for r in log2.records if "eval_seq_length_p0.5" in r]
+    assert dbg and dbg[-1]["eval_seq_length_p1"] <= 20 * 4
