@@ -286,6 +286,7 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
                     host_rng, cfg.batch_size, subsample=cfg.train_data_subsample
                 ),
                 bundle.items.x,
+                with_features=False,
             )
             for _ in range(accum)
         ]
@@ -331,7 +332,8 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
                 idx = np.arange(lo, min(lo + cfg.batch_size, len(bundle.eval_seqs)))
                 if idx.size == 0:
                     break
-                b = make_seq_batch(bundle.eval_seqs.batch_at(idx), bundle.items.x)
+                b = make_seq_batch(bundle.eval_seqs.batch_at(idx), bundle.items.x,
+                                   with_features=False)
                 l, _ = eval_loss_fn(params, jax.tree.map(jnp.asarray, b))
                 losses.append(float(l))
                 eval_mask = b.seq_mask
@@ -355,7 +357,8 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
                     idx = np.concatenate(
                         [idx, np.full(cfg.batch_size - n_real, idx[-1])]
                     )
-                b = make_seq_batch(bundle.eval_seqs.batch_at(idx), bundle.items.x)
+                b = make_seq_batch(bundle.eval_seqs.batch_at(idx), bundle.items.x,
+                                   with_features=False)
                 rng, gen_key = jax.random.split(rng)
                 gen, actual = generate_fn(
                     params, jax.tree.map(jnp.asarray, b), gen_key
