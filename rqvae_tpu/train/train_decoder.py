@@ -99,6 +99,8 @@ class DecoderTrainConfig:
     profile_dir: Optional[str] = None    # capture a jax.profiler trace
     profile_start: int = 10
     profile_steps: int = 5
+    auto_resume: bool = True             # resume from save_dir_root's latest
+    debug_nans: bool = False             # jax_debug_nans for triage runs
 
     def vae_config(self) -> rqvae_lib.RqVaeConfig:
         return rqvae_lib.RqVaeConfig(
@@ -198,6 +200,8 @@ def make_train_step(model_cfg, opt, index, accum, compute_dtype, sem_dim):
 def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
     logger = logger or MetricsLogger(every=cfg.log_every)
     compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     bundle = registry.load(
         cfg.dataset,
@@ -235,9 +239,14 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
     opt = optim.adamw(schedule, cfg.weight_decay)
     opt_state = opt.init(params)
     start_iter = 0
-    if cfg.pretrained_decoder_path is not None:
+    resume_path = cfg.pretrained_decoder_path
+    if resume_path is None and cfg.auto_resume and (
+        ckpt_lib.latest_step(cfg.save_dir_root) is not None
+    ):
+        resume_path = cfg.save_dir_root
+    if resume_path is not None:
         state, meta = ckpt_lib.restore(
-            cfg.pretrained_decoder_path,
+            resume_path,
             target=jax.device_get({"params": params, "opt_state": opt_state}),
         )
         params, opt_state = state["params"], state["opt_state"]

@@ -102,6 +102,11 @@ class RqVaeTrainConfig:
     profile_dir: Optional[str] = None    # capture a jax.profiler trace
     profile_start: int = 10
     profile_steps: int = 5
+    # failure recovery: resume from the latest checkpoint under
+    # save_dir_root when no explicit pretrained path is given (the reference
+    # required hand-editing pretrained_rqvae_path after a crash)
+    auto_resume: bool = True
+    debug_nans: bool = False             # jax_debug_nans for triage runs
 
     def model_config(self) -> rqvae_lib.RqVaeConfig:
         return rqvae_lib.RqVaeConfig(
@@ -209,6 +214,8 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
     logger = logger or MetricsLogger(every=cfg.log_every)
     model_cfg = cfg.model_config()
     compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     bundle = registry.load(
         cfg.dataset,
@@ -236,9 +243,14 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
     opt_state = opt.init(params)
     start_iter = 0
 
-    if cfg.pretrained_rqvae_path is not None:
+    resume_path = cfg.pretrained_rqvae_path
+    if resume_path is None and cfg.auto_resume and (
+        ckpt_lib.latest_step(cfg.save_dir_root) is not None
+    ):
+        resume_path = cfg.save_dir_root
+    if resume_path is not None:
         state, meta = ckpt_lib.restore(
-            cfg.pretrained_rqvae_path,
+            resume_path,
             target=jax.device_get({"params": params, "opt_state": opt_state}),
         )
         params, opt_state = state["params"], state["opt_state"]
