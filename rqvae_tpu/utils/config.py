@@ -60,6 +60,7 @@ def from_dict(cls: Type[T], data: dict) -> T:
     """Build a dataclass from a dict, coercing field types; unknown keys are
     an error (catching config drift, which gin would silently allow)."""
     fields = {f.name: f for f in dataclasses.fields(cls)}
+    data = {k: v for k, v in data.items() if not k.startswith("_")}  # comments
     unknown = set(data) - set(fields)
     if unknown:
         raise ValueError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
