@@ -169,24 +169,34 @@ def make_train_step(model_cfg, opt, index, accum, compute_dtype, sem_dim):
         return out.loss, out.loss_d
 
     def step(params, opt_state, batch, rng):
-        rngs = jax.random.split(rng, accum)
-
-        def scan_body(carry, inp):
-            grads_acc, loss_acc, loss_d_acc = carry
-            b, r = inp
+        if accum == 1:
+            # no accumulation: skip the scan and the zeros+add round-trip
+            # over the whole gradient tree
+            one = jax.tree.map(lambda x: x[0], batch)
             (loss, loss_d), grads = jax.value_and_grad(
                 microbatch_loss, has_aux=True
-            )(params, b, r)
-            return (
-                jax.tree.map(jnp.add, grads_acc, grads),
-                loss_acc + loss,
-                loss_d_acc + loss_d,
-            ), None
+            )(params, one, rng)
+        else:
+            rngs = jax.random.split(rng, accum)
 
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        init = (zeros, jnp.float32(0.0), jnp.zeros((sem_dim,), jnp.float32))
-        (grads, loss, loss_d), _ = jax.lax.scan(scan_body, init, (batch, rngs))
-        grads = jax.tree.map(lambda g: g / accum, grads)
+            def scan_body(carry, inp):
+                grads_acc, loss_acc, loss_d_acc = carry
+                b, r = inp
+                (loss, loss_d), grads = jax.value_and_grad(
+                    microbatch_loss, has_aux=True
+                )(params, b, r)
+                return (
+                    jax.tree.map(jnp.add, grads_acc, grads),
+                    loss_acc + loss,
+                    loss_d_acc + loss_d,
+                ), None
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            init = (zeros, jnp.float32(0.0), jnp.zeros((sem_dim,), jnp.float32))
+            (grads, loss, loss_d), _ = jax.lax.scan(
+                scan_body, init, (batch, rngs)
+            )
+            grads = jax.tree.map(lambda g: g / accum, grads)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), params, updates)
         return params, opt_state, {

@@ -140,29 +140,39 @@ def make_train_step(model_cfg, opt, accum, compute_dtype):
         return out.loss, out
 
     def step(params, opt_state, x, rng, gumbel_t):
-        rngs = jax.random.split(rng, accum)
-
-        def scan_body(carry, inp):
-            grads_acc, loss_acc, recon_acc, vq_acc, pu_acc = carry
-            xb, r = inp
+        if accum == 1:
+            # no accumulation: skip the scan and the zeros+add round-trip
             (loss, out), grads = jax.value_and_grad(
                 microbatch_loss, has_aux=True
-            )(params, xb, r, gumbel_t)
-            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-            return (
-                grads_acc,
-                loss_acc + loss,
-                recon_acc + out.reconstruction_loss,
-                vq_acc + out.rqvae_loss,
-                pu_acc + out.p_unique_ids,
-            ), out.embs_norm
+            )(params, x[0], rng, gumbel_t)
+            recon, vq, pu = (
+                out.reconstruction_loss, out.rqvae_loss, out.p_unique_ids
+            )
+            embs_norm = out.embs_norm[None]
+        else:
+            rngs = jax.random.split(rng, accum)
 
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        init = (zeros, 0.0, 0.0, 0.0, 0.0)
-        (grads, loss, recon, vq, pu), embs_norm = jax.lax.scan(
-            scan_body, init, (x, rngs)
-        )
-        grads = jax.tree.map(lambda g: g / accum, grads)
+            def scan_body(carry, inp):
+                grads_acc, loss_acc, recon_acc, vq_acc, pu_acc = carry
+                xb, r = inp
+                (loss, out), grads = jax.value_and_grad(
+                    microbatch_loss, has_aux=True
+                )(params, xb, r, gumbel_t)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                return (
+                    grads_acc,
+                    loss_acc + loss,
+                    recon_acc + out.reconstruction_loss,
+                    vq_acc + out.rqvae_loss,
+                    pu_acc + out.p_unique_ids,
+                ), out.embs_norm
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            init = (zeros, 0.0, 0.0, 0.0, 0.0)
+            (grads, loss, recon, vq, pu), embs_norm = jax.lax.scan(
+                scan_body, init, (x, rngs)
+            )
+            grads = jax.tree.map(lambda g: g / accum, grads)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = jax.tree.map(
             lambda p, u: p + u.astype(p.dtype), params, updates

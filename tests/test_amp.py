@@ -77,6 +77,28 @@ def test_decoder_bf16_loss_close_to_fp32():
     )
 
 
+def test_decoder_grad_accum_matches_single_step():
+    """accum=2 over a duplicated microbatch == accum=1 on that batch (same
+    rng per microbatch is not required — compare via duplicated batch +
+    deterministic dropout-free config)."""
+    cfg, index, batch = _decoder_fixtures()
+    cfg = cfg.__class__(**{**cfg.__dict__, "dropout": 0.0, "input_dropout": 0.0})
+    params = retrieval.init(jax.random.PRNGKey(0), cfg)
+    opt = optim.adamw(1e-3, 0.01)
+    dup = jax.tree.map(lambda x: jnp.concatenate([x, x], axis=0), batch)
+
+    s1 = jax.jit(decoder_step(cfg, opt, index, 1, jnp.float32, 4))
+    s2 = jax.jit(decoder_step(cfg, opt, index, 2, jnp.float32, 4))
+    p1, _, m1 = s1(params, opt.init(params), batch, jax.random.PRNGKey(0))
+    p2, _, m2 = s2(params, opt.init(params), dup, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(m2["total_loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_rqvae_train_step_bf16_finite():
     cfg = RqVaeConfig(
         input_dim=18, embed_dim=16, hidden_dims=(18, 18), codebook_size=32,
