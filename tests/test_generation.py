@@ -140,3 +140,47 @@ def test_topk_accumulator_golden():
     np.testing.assert_allclose(m["ndcg@5"], 0.5 * (1 / np.log2(2 + 2)))
     acc.reset()
     assert acc.total == 0
+
+
+def test_beam_scores_match_teacher_forced_logprobs():
+    """log_probas must equal the sum of teacher-forced per-position log-probs
+    for every valid beam — this locks the parent-gather bookkeeping."""
+    params = retrieval.init(jax.random.PRNGKey(0), CFG)
+    index = _index()
+    batch = _batch(b=2)
+    out = generation.generate_next_sem_ids(
+        params, CFG, index, batch, jax.random.PRNGKey(11),
+        k=4, n_candidates=16, temperature=1.0,
+    )
+    beams = np.asarray(out.sem_ids)      # (B, k, D)
+    scores = np.asarray(out.log_probas)  # (B, k)
+    b, k, d = beams.shape
+
+    for bi in range(b):
+        row_batch = jax.tree.map(
+            lambda x: x[bi : bi + 1] if x is not None else None, batch,
+            is_leaf=lambda x: x is None,
+        )
+        for ki in range(k):
+            if scores[bi, ki] <= generation.INVALID_PENALTY / 2:
+                continue  # penalized beam; score includes the -10000 term
+            total = 0.0
+            for pos in range(d):
+                fut = (
+                    jnp.asarray(beams[bi, ki, :pos][None].astype(np.int32))
+                    if pos > 0 else None
+                )
+                tt = (
+                    jnp.asarray(np.arange(pos, dtype=np.int32)[None])
+                    if pos > 0 else None
+                )
+                logits, _ = retrieval.forward_generate_step(
+                    params, CFG,
+                    row_batch._replace(sem_ids_fut=fut, token_type_ids_fut=tt),
+                )
+                logp = jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1
+                )
+                total += float(logp[0, beams[bi, ki, pos]])
+            np.testing.assert_allclose(scores[bi, ki], total, rtol=2e-4,
+                                       atol=2e-4)
