@@ -269,3 +269,74 @@ def test_topk_accumulator_parity():
     for key, val in ref.items():
         assert key in ours, f"missing metric {key}"
         np.testing.assert_allclose(ours[key], val, rtol=1e-6, err_msg=key)
+
+
+# ---------------------------------------------------------------------------
+# full RQ-VAE tokenization chain (encoder MLP + residual quantize loop)
+# ---------------------------------------------------------------------------
+
+def test_rqvae_get_semantic_ids_parity(ref_modules):
+    import jax
+    import jax.numpy as jnp
+
+    from rqvae_tpu.models import rqvae as our_rqvae
+    from rqvae_tpu.models.rqvae import RqVaeConfig
+
+    sys.path.insert(0, REF)
+    try:
+        from modules.rqvae import RqVae as RefRqVae
+    finally:
+        sys.path.remove(REF)
+
+    cfg = RqVaeConfig(
+        input_dim=20, embed_dim=8, hidden_dims=(16, 12), codebook_size=16,
+        n_layers=3, n_cat_feats=0, codebook_kmeans_init=False,
+    )
+    params = our_rqvae.init(jax.random.PRNGKey(0), cfg)
+
+    ref = RefRqVae(
+        input_dim=cfg.input_dim, embed_dim=cfg.embed_dim,
+        hidden_dims=list(cfg.hidden_dims), codebook_size=cfg.codebook_size,
+        codebook_kmeans_init=False, n_layers=cfg.n_layers, n_cat_features=0,
+    ).eval()
+
+    # map our params onto the reference module
+    with torch.no_grad():
+        for ref_mlp, ours in (
+            (ref.encoder, params["encoder"]),
+            (ref.decoder, params["decoder"]),
+        ):
+            linears = [
+                m for m in ref_mlp.mlp if isinstance(m, torch.nn.Linear)
+            ]
+            assert len(linears) == len(ours)
+            for lin, w in zip(linears, ours):
+                lin.weight.copy_(_t(np.asarray(w).T))
+        for ref_level, our_level in zip(ref.layers, params["layers"]):
+            ref_level.embedding.weight.copy_(_t(our_level["codebook"]))
+            ref_level.kmeans_initted = True  # skip lazy kmeans
+
+    x = np.random.RandomState(9).randn(17, cfg.input_dim).astype(np.float32)
+    ref_out = ref.get_semantic_ids(_t(x))
+    ours_out = our_rqvae.get_semantic_ids(params, cfg, jnp.asarray(x))
+
+    np.testing.assert_array_equal(
+        np.asarray(ours_out.sem_ids), ref_out.sem_ids.numpy()
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_out.embeddings.sum(axis=-1)),
+        ref_out.embeddings.sum(dim=-1).detach().numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_out.quantize_loss),
+        ref_out.quantize_loss.detach().numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
+    # the fused Pallas path agrees too (interpret mode on CPU)
+    fused = our_rqvae.encode_and_tokenize(params, cfg, jnp.asarray(x))
+    import os as _os
+    if _os.environ.get("RQVAE_TPU_DISABLE_PALLAS") != "1":
+        np.testing.assert_array_equal(
+            np.asarray(fused), ref_out.sem_ids.numpy()
+        )
