@@ -28,6 +28,32 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def maybe_init_distributed() -> int:
+    """Multi-host bring-up: call jax.distributed.initialize() when a
+    coordinator is configured (JAX_COORDINATOR_ADDRESS / Cloud TPU metadata),
+    idempotently. Returns jax.process_count(). Single-host runs are a no-op —
+    the same train loops serve 1 chip and N hosts (SURVEY.md §2 parallelism
+    table: DP via mesh sharding, not a separate code path)."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized by the launcher
+    return jax.process_count()
+
+
+def process_local_batch_size(global_batch: int) -> int:
+    """split_batches semantics (reference train_rqvae.py:61): the configured
+    batch size is GLOBAL; each host feeds its slice."""
+    n = jax.process_count()
+    assert global_batch % n == 0, (
+        f"global batch {global_batch} not divisible by {n} processes"
+    )
+    return global_batch // n
+
+
 def make_mesh(
     shape: Optional[Sequence[int]] = None,
     devices: Optional[Sequence[jax.Device]] = None,
@@ -44,6 +70,13 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def local_slice(idx: np.ndarray) -> np.ndarray:
+    """Deterministic disjoint per-process strided slice of a global index set
+    (multi-host eval: every host computes on its own shard, jit over the
+    assembled global array returns identical reductions on all hosts)."""
+    return idx[jax.process_index():: jax.process_count()]
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis split over 'data'."""
     return NamedSharding(mesh, P(DATA_AXIS))
@@ -54,12 +87,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: int = 0):
-    """Device_put every leaf with dimension ``axis`` split over 'data'
-    (axis=1 for microbatch-stacked (accum, B, ...) layouts)."""
+    """Shard every leaf's dimension ``axis`` over 'data' (axis=1 for
+    microbatch-stacked (accum, B, ...) layouts).
+
+    Single-process: a device_put with a NamedSharding. Multi-process: each
+    host holds only its slice of the global batch, assembled into a global
+    jax.Array via make_array_from_process_local_data — the leaf passed in is
+    the PROCESS-LOCAL slice (sample with a per-process seed)."""
+    multiprocess = jax.process_count() > 1
+
     def put(x):
         dims = [None] * np.ndim(x)
         dims[axis] = DATA_AXIS
-        return jax.device_put(x, NamedSharding(mesh, P(*dims)))
+        sharding = NamedSharding(mesh, P(*dims))
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+        return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch)
 

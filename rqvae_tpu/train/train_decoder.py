@@ -240,6 +240,8 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
             file=sys.stderr,
         )
 
+    mesh_lib.maybe_init_distributed()
+    local_bs = mesh_lib.process_local_batch_size(cfg.batch_size)
     device_mesh = mesh_lib.make_mesh(cfg.mesh_shape)
     rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)
     rng, init_key = jax.random.split(rng)
@@ -302,7 +304,7 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
         bs = [
             make_seq_batch(
                 bundle.train_seqs.sample_batch(
-                    host_rng, cfg.batch_size, subsample=cfg.train_data_subsample
+                    host_rng, local_bs, subsample=cfg.train_data_subsample
                 ),
                 bundle.items.x,
                 with_features=False,
@@ -310,11 +312,10 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
             for _ in range(accum)
         ]
         stacked = jax.tree.map(lambda *xs: np.stack(xs), *bs)
-        return mesh_lib.shard_batch(
-            jax.tree.map(jnp.asarray, stacked), device_mesh, axis=1
-        )
+        return mesh_lib.shard_batch(stacked, device_mesh, axis=1)
 
-    host_rng = np.random.default_rng(cfg.seed)
+    # per-process stream: each host samples ITS slice of the global batch
+    host_rng = np.random.default_rng(cfg.seed + jax.process_index())
     metrics_acc = TopKAccumulator(ks=(1, 5, 10))
     profiler = profiling.StepProfiler(
         cfg.profile_dir, cfg.profile_start, cfg.profile_steps
@@ -343,7 +344,10 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
             logger.log(it + 1, m, force=True)
 
         last = it + 1 == start_iter + cfg.iterations
-        if (it + 1) % cfg.partial_eval_every == 0 or last:
+        # eval paths run replicated single-host arrays; multi-host eval is
+        # deferred (train is the multi-host path — see parallel/mesh.py)
+        do_eval_here = jax.process_count() == 1
+        if do_eval_here and ((it + 1) % cfg.partial_eval_every == 0 or last):
             losses = []
             for eb in range(min(cfg.eval_batches,
                                 max(1, len(bundle.eval_seqs) // cfg.batch_size))):
@@ -363,7 +367,7 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
                 force=True,
             )
 
-        if (it + 1) % cfg.full_eval_every == 0 or last:
+        if do_eval_here and ((it + 1) % cfg.full_eval_every == 0 or last):
             metrics_acc.reset()
             n_eval = min(cfg.eval_batches * cfg.batch_size, len(bundle.eval_seqs))
             for lo in range(0, n_eval, cfg.batch_size):
@@ -387,7 +391,9 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
                 )
             logger.log(it + 1, metrics_acc.reduce(), force=True)
 
-        if (it + 1) % cfg.save_model_every == 0 or last:
+        if jax.process_index() == 0 and (
+            (it + 1) % cfg.save_model_every == 0 or last
+        ):
             ckpt_lib.save(
                 cfg.save_dir_root,
                 it,

@@ -244,6 +244,8 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
     eval_x = items.filtered("eval") if cfg.do_eval else None
     index_x = items.filtered("all")
 
+    mesh_lib.maybe_init_distributed()
+    local_bs = mesh_lib.process_local_batch_size(cfg.batch_size)
     device_mesh = mesh_lib.make_mesh(cfg.mesh_shape)
     rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)
     rng, init_key = jax.random.split(rng)
@@ -303,7 +305,8 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
         else temperature.ConstantTemperature(cfg.gumbel_temperature)
     )
 
-    host_rng = np.random.default_rng(cfg.seed)
+    # per-process stream: each host samples ITS slice of the global batch
+    host_rng = np.random.default_rng(cfg.seed + jax.process_index())
     profiler = profiling.StepProfiler(
         cfg.profile_dir, cfg.profile_start, cfg.profile_steps
     )
@@ -311,9 +314,9 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
     examples_seen = 0
     for it in range(start_iter, start_iter + cfg.iterations):
         profiler.step(it - start_iter)
-        idx = host_rng.integers(0, train_x.shape[0], size=(accum, cfg.batch_size))
+        idx = host_rng.integers(0, train_x.shape[0], size=(accum, local_bs))
         batch = mesh_lib.shard_batch(
-            jnp.asarray(train_x[idx]).reshape(accum, cfg.batch_size, -1),
+            train_x[idx].reshape(accum, local_bs, -1),
             device_mesh,
             axis=1,
         )
@@ -334,7 +337,10 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
             logger.log(it + 1, m, force=True)
 
         last = it + 1 == start_iter + cfg.iterations
-        if cfg.do_eval and ((it + 1) % cfg.eval_every == 0 or last):
+        # eval runs replicated single-host arrays (see train_decoder note)
+        if cfg.do_eval and jax.process_count() == 1 and (
+            (it + 1) % cfg.eval_every == 0 or last
+        ):
             losses = []
             for eb in range(cfg.eval_batches):
                 lo = eb * cfg.batch_size
@@ -355,7 +361,9 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
                 force=True,
             )
 
-        if (it + 1) % cfg.save_model_every == 0 or last:
+        if jax.process_index() == 0 and (
+            (it + 1) % cfg.save_model_every == 0 or last
+        ):
             ckpt_lib.save(
                 cfg.save_dir_root,
                 it,
