@@ -13,9 +13,12 @@ as a fixed-shape jit program:
     log-prob (reference model.py:190-194), then top-k beams via lax.top_k.
   * beam bookkeeping: parent gathers by integer division, exactly the
     reference's ``top_k_indices // n_candidates`` trick.
-  * the encoder runs ONCE on the B input rows; its output is repeated to
-    B*k and carried explicitly — the reference had to round-trip its jagged
-    encoder cache through padded tensors to do this (model.py:219-228).
+  * the encoder runs ONCE on the B input rows; every decoder block's
+    cross-attention K/V is precomputed from it (retrieval.GenerationCache)
+    and stays at B rows — beams fold into the attention query axis instead
+    of replicating state k times (the reference round-tripped its jagged
+    encoder cache through padded tensors to replicate it, model.py:219-228,
+    and re-projected K/V from the replicated cache every step).
 
 Everything below compiles to one XLA program per sem-ID position (the
 position loop is a static 4-step unroll; shapes differ per step).
@@ -47,11 +50,6 @@ def _gumbel_topk_sample(rng, logp, n):
     return idx.astype(jnp.int32)
 
 
-def _repeat_rows(x, k):
-    """repeat_interleave along axis 0."""
-    return jnp.repeat(x, k, axis=0)
-
-
 def generate_next_sem_ids(
     params,
     cfg: RetrievalConfig,
@@ -68,9 +66,12 @@ def generate_next_sem_ids(
     d = cfg.sem_id_dim
     n_candidates = min(n_candidates, cfg.num_embeddings)
 
-    # ---- step 0: BOS-only forward on the raw batch, cache the encoder ----
+    # ---- step 0: run the encoder ONCE, cache per-block cross K/V ----
     bos_batch = batch._replace(sem_ids_fut=None, token_type_ids_fut=None)
-    logits, context = retrieval.forward_generate_step(params, cfg, bos_batch)
+    cache = retrieval.encode_for_generation(params, cfg, bos_batch)
+    logits = retrieval.forward_generate_cached(
+        params, cfg, cache, None, None, beams=1, n_rows=b
+    )
     logp_dist = jax.nn.log_softmax(
         logits.astype(jnp.float32) / temperature, axis=-1
     )  # (B, K)
@@ -84,28 +85,17 @@ def generate_next_sem_ids(
     generated = jnp.take_along_axis(samples, top_idx, axis=-1)[..., None]  # (B,k,1)
     log_probas = top_scores
 
-    # explode the batch and the cached encoder output to B*k rows
-    big_batch = TokenizedSeqBatch(
-        user_ids=_repeat_rows(batch.user_ids, k),
-        sem_ids=_repeat_rows(batch.sem_ids, k),
-        sem_ids_fut=None,
-        seq_mask=_repeat_rows(batch.seq_mask, k),
-        token_type_ids=_repeat_rows(batch.token_type_ids, k),
-        token_type_ids_fut=None,
-    )
-    big_context = _repeat_rows(context, k)
-
-    # ---- steps 1..D-1: beams of growing prefixes ----
+    # ---- steps 1..D-1: beams of growing prefixes. The cached K/V stays at
+    # B rows; beams fold into the attention query axis (transformer.
+    # decode_with_kv) — no B->B*k explosion of encoder state at all (the
+    # reference round-tripped its jagged cache through padded tensors to
+    # replicate it k times, model.py:219-228). ----
     for i in range(1, d):
         fut = generated.reshape(b * k, i)
-        step_batch = big_batch._replace(
-            sem_ids_fut=fut,
-            token_type_ids_fut=jnp.tile(
-                jnp.arange(i, dtype=jnp.int32), (b * k, 1)
-            ),
-        )
-        logits, _ = retrieval.forward_generate_step(
-            params, cfg, step_batch, cached_context=big_context
+        logits = retrieval.forward_generate_cached(
+            params, cfg, cache, fut,
+            jnp.tile(jnp.arange(i, dtype=jnp.int32), (b * k, 1)),
+            beams=k, n_rows=b * k,
         )
         logp_dist = jax.nn.log_softmax(
             logits.astype(jnp.float32) / temperature, axis=-1

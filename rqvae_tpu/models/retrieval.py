@@ -202,9 +202,68 @@ def forward_generate_step(
     cached_context: Optional[jax.Array] = None,
 ):
     """Generation step: logits at the LAST fut position (reference
-    model.py:270-280). Returns (logits (B, K), encoder context to cache)."""
+    model.py:270-280). Returns (logits (B, K), encoder context to cache).
+
+    Kept as the semantic reference for the fast path below (tests compare
+    the two); the generation loop itself uses the KV-cached variant."""
     out, context, _ = predict(
         params, cfg, batch, training=False, cached_context=cached_context
     )
     logits = out[:, -1, :] @ params["out_proj"].astype(out.dtype)
     return logits, context
+
+
+class GenerationCache(NamedTuple):
+    """Per-batch-row state carried through the beam-search loop: every
+    decoder block's cross-attention K/V (computed ONCE from the encoder
+    output) and the encoder key mask. The reference instead repeated its
+    jagged encoder cache to B*k rows and re-projected K/V from it on every
+    step of every beam (model.py:219-228 + attention.py wkv per forward)."""
+
+    kv: tuple                # transformer.cross_kv output, entries (B,H,Nc,Dh)
+    ctx_mask: jax.Array      # (B, Nc) bool
+
+
+def encode_for_generation(
+    params, cfg: RetrievalConfig, batch: TokenizedSeqBatch
+) -> GenerationCache:
+    """Run the encoder once and cache cross-attention K/V per decoder block."""
+    ctx_emb, ctx_mask = embed_context(params, cfg, batch)
+    h_ctx = rms_norm(ctx_emb, params["norm"])
+    ctx_in = h_ctx @ params["in_proj_context"].astype(h_ctx.dtype)
+    context = transformer.encode(
+        params["transformer"], cfg.transformer, ctx_in, ctx_mask
+    )
+    kv = transformer.cross_kv(params["transformer"], cfg.transformer, context)
+    return GenerationCache(kv=tuple(kv), ctx_mask=ctx_mask)
+
+
+def forward_generate_cached(
+    params,
+    cfg: RetrievalConfig,
+    cache: GenerationCache,
+    sem_ids_fut: Optional[jax.Array],       # (n_rows, i) or None (BOS only)
+    token_type_ids_fut: Optional[jax.Array],
+    *,
+    beams: int,
+    n_rows: int,
+) -> jax.Array:
+    """Logits at the last fut position for n_rows = B*beams beam rows,
+    decoding against the cached cross K/V (beam-folded attention)."""
+    bos = jnp.broadcast_to(params["bos"], (n_rows, 1, cfg.embedding_dim))
+    if sem_ids_fut is None:
+        fut_emb = bos
+    else:
+        fut = embeddings.sem_id_embed(
+            params["sem_emb"], sem_ids_fut, token_type_ids_fut,
+            cfg.num_embeddings,
+        )
+        fut = fut + params["tte"][token_type_ids_fut]
+        fut_emb = jnp.concatenate([bos, fut], axis=1)
+    h_fut = rms_norm(fut_emb, params["norm_cxt"])
+    fut_in = h_fut @ params["in_proj"].astype(h_fut.dtype)
+    out = transformer.decode_with_kv(
+        params["transformer"], cfg.transformer, fut_in,
+        cache.kv, cache.ctx_mask, beams=beams,
+    )
+    return out[:, -1, :] @ params["out_proj"].astype(out.dtype)

@@ -203,6 +203,74 @@ def decode(
     return x
 
 
+def cross_kv(params, cfg: TransformerConfig, context: jax.Array):
+    """Precompute every decoder block's cross-attention K/V from the encoder
+    output — the generation loop's KV cache (the reference wrote a KV cache
+    but hard-disabled it, attention.py:161; here it is the designed-in path).
+    Returns a list over decoder blocks of (k, v), each (B, H, Nc, Dh)."""
+    out = []
+    for block in params["decoder"]:
+        p = block["cross_attn"]
+        kv = context @ p["wkv"].astype(context.dtype)
+        k, v = jnp.split(kv, 2, axis=-1)
+        out.append(
+            (
+                attn_ops.split_heads(k, cfg.num_heads),
+                attn_ops.split_heads(v, cfg.num_heads),
+            )
+        )
+    return out
+
+
+def _fold_beams(x: jax.Array, beams: int) -> jax.Array:
+    """(B*beams, H, Nf, Dh) -> (B, H, beams*Nf, Dh): beams of one row share
+    cross-attention K/V, so they ride the query axis of one attention call."""
+    bk, h, nf, dh = x.shape
+    b = bk // beams
+    return x.reshape(b, beams, h, nf, dh).transpose(0, 2, 1, 3, 4).reshape(
+        b, h, beams * nf, dh
+    )
+
+
+def _unfold_beams(x: jax.Array, beams: int) -> jax.Array:
+    b, h, bn, dh = x.shape
+    nf = bn // beams
+    return x.reshape(b, h, beams, nf, dh).transpose(0, 2, 1, 3, 4).reshape(
+        b * beams, h, nf, dh
+    )
+
+
+def decode_with_kv(
+    params,
+    cfg: TransformerConfig,
+    x: jax.Array,           # (B*beams, Nf, d_model)
+    kv,                     # cross_kv() output: [(B, H, Nc, Dh)] per block
+    context_mask: jax.Array,  # (B, Nc) bool
+    *,
+    beams: int = 1,
+) -> jax.Array:
+    """Generation-path decoder: causal self-attention per beam row +
+    beam-folded cross-attention against the cached K/V (no per-step, per-beam
+    K/V recompute)."""
+    for block, (ck, cv) in zip(params["decoder"], kv):
+        h = rms_norm(x, block["attn_norm"])
+        attn_out = x + _self_attention(
+            block["attn"], h, cfg.num_heads, causal=True, k_mask=None
+        )
+        hc = rms_norm(x, block["cross_attn_norm"])  # quirk: block input x
+        p = block["cross_attn"]
+        q = attn_ops.split_heads(
+            hc @ p["wq"].astype(hc.dtype), cfg.num_heads
+        )
+        qf = _fold_beams(q, beams)
+        of = attn_ops.attend(qf, ck, cv, causal=False, k_mask=context_mask)
+        cross_out = attn_ops.merge_heads(_unfold_beams(of, beams))
+        attn_out = attn_out + cross_out @ p["proj"].astype(x.dtype)
+        ff = mlp.apply(block["ff_mlp"], rms_norm(attn_out, block["ff_norm"]))
+        x = attn_out + ff
+    return x
+
+
 def apply(
     params,
     cfg: TransformerConfig,

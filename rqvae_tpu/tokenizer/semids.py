@@ -181,7 +181,11 @@ def exists_prefix(index: CorpusIndex, prefix: jax.Array) -> jax.Array:
     l = prefix.shape[-1]
     keys = pack_prefix(prefix, index.bases, dtype=index.sorted_keys.dtype)
     table = index.sorted_keys[l - 1]
-    pos = jnp.searchsorted(table, keys.ravel())
+    # method='sort' (co-sort queries with the table) instead of the default
+    # binary-search scan: the scan's 14 serially-dependent gathers cost
+    # 236 ms for the beam-search query volume (256x32x200) on a v5e; the
+    # sort formulation is 25 ms and keeps the whole op on the VPU.
+    pos = jnp.searchsorted(table, keys.ravel(), method="sort")
     pos = jnp.clip(pos, 0, table.shape[0] - 1)
     found = table[pos] == keys.ravel()
     return found.reshape(prefix.shape[:-1])

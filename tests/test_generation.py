@@ -184,3 +184,41 @@ def test_beam_scores_match_teacher_forced_logprobs():
                 total += float(logp[0, beams[bi, ki, pos]])
             np.testing.assert_allclose(scores[bi, ki], total, rtol=2e-4,
                                        atol=2e-4)
+
+
+def test_cached_generation_matches_reference_path():
+    """forward_generate_cached (KV cache + beam folding) must produce the
+    same logits as the plain forward_generate_step at every position."""
+    params = retrieval.init(jax.random.PRNGKey(0), CFG)
+    batch = _batch(b=3)
+    k = 2
+    cache = retrieval.encode_for_generation(params, CFG, batch)
+
+    # BOS step (beams=1)
+    ref_logits, context = retrieval.forward_generate_step(params, CFG, batch)
+    got = retrieval.forward_generate_cached(
+        params, CFG, cache, None, None, beams=1, n_rows=3
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_logits),
+                               rtol=1e-4, atol=1e-5)
+
+    # step with 2-token prefixes across k=2 beams per row
+    rng = np.random.RandomState(0)
+    fut = jnp.asarray(rng.randint(0, 8, (3 * k, 2)).astype(np.int32))
+    tt = jnp.asarray(np.tile(np.arange(2, dtype=np.int32), (3 * k, 1)))
+    big = TokenizedSeqBatch(
+        user_ids=jnp.repeat(batch.user_ids, k, axis=0),
+        sem_ids=jnp.repeat(batch.sem_ids, k, axis=0),
+        sem_ids_fut=fut,
+        seq_mask=jnp.repeat(batch.seq_mask, k, axis=0),
+        token_type_ids=jnp.repeat(batch.token_type_ids, k, axis=0),
+        token_type_ids_fut=tt,
+    )
+    ref_logits, _ = retrieval.forward_generate_step(
+        params, CFG, big, cached_context=jnp.repeat(context, k, axis=0)
+    )
+    got = retrieval.forward_generate_cached(
+        params, CFG, cache, fut, tt, beams=k, n_rows=3 * k
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_logits),
+                               rtol=1e-4, atol=1e-5)
