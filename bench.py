@@ -33,7 +33,62 @@ PROFILES = {
     # name: (n_hist items, batch, corpus items)
     "amazon": dict(n_hist=20, batch_size=256, n_items=12101),
     "ml32m": dict(n_hist=200, batch_size=256, n_items=84432),
+    # serving: constrained beam search queries/s (k=32, 200 candidates)
+    "amazon_generate": dict(n_hist=20, batch_size=256, n_items=12101),
 }
+
+
+def run_generate_profile(p) -> float:
+    """Constrained beam-search serving throughput (queries/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rqvae_tpu.data.schemas import TokenizedSeqBatch
+    from rqvae_tpu.models import generation, retrieval
+    from rqvae_tpu.models.retrieval import RetrievalConfig
+    from rqvae_tpu.tokenizer import semids
+
+    n_hist, b, n_items = p["n_hist"], p["batch_size"], p["n_items"]
+    cfg = RetrievalConfig(
+        embedding_dim=128, attn_dim=512, dropout=0.3, num_heads=8, n_layers=8,
+        num_embeddings=256, sem_id_dim=4, max_pos=n_hist * 4,
+    )
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 256, (n_items, 3)).astype(np.int32)
+    dedup = np.asarray(semids.dedup_column(jnp.asarray(base), 256))
+    cached = np.concatenate([base, dedup[:, None]], axis=1).astype(np.int32)
+    index = semids.build_index(jnp.asarray(cached), codebook_size=256)
+    params = retrieval.init(jax.random.PRNGKey(0), cfg)
+    n = n_hist * 4
+    batch = TokenizedSeqBatch(
+        user_ids=jnp.arange(b, dtype=jnp.int32),
+        sem_ids=jnp.asarray(rng.randint(0, 256, (b, n)).astype(np.int32)),
+        sem_ids_fut=None,
+        seq_mask=jnp.ones((b, n), bool),
+        token_type_ids=jnp.asarray(
+            np.tile(np.arange(4, dtype=np.int32), (b, n_hist))
+        ),
+        token_type_ids_fut=None,
+    )
+    gen = jax.jit(
+        lambda pp, bt, r: generation.generate_next_sem_ids(
+            pp, cfg, index, bt, r, k=32, n_candidates=200
+        )
+    )
+    key = jax.random.key(1, impl="rbg")
+    acc = jnp.zeros((), jnp.float32)
+    for i in range(5):  # compile + ramp
+        acc = acc + gen(params, batch, jax.random.fold_in(key, i)).log_probas.sum()
+    float(acc)
+    n_steps, acc = 20, jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        out = gen(params, batch, jax.random.fold_in(key, 100 + i))
+        acc = acc + out.log_probas.sum()
+    final = float(acc)  # forced fetch serializes + completes
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final)
+    return n_steps * b / dt
 
 
 def run_profile(name: str) -> float:
@@ -48,6 +103,8 @@ def run_profile(name: str) -> float:
     from rqvae_tpu.train.train_decoder import make_train_step
 
     p = PROFILES[name]
+    if name.endswith("_generate"):
+        return run_generate_profile(p)
     n_hist, batch_size, n_items = p["n_hist"], p["batch_size"], p["n_items"]
     cfg = RetrievalConfig(
         embedding_dim=128, attn_dim=512, dropout=0.3, num_heads=8, n_layers=8,
@@ -109,7 +166,10 @@ def main() -> None:
     args = ap.parse_args()
     examples_per_s = run_profile(args.profile)
 
-    metric = f"decoder_train_examples_per_s_{args.profile}_bs256"
+    if args.profile.endswith("_generate"):
+        metric = f"beam_search_queries_per_s_{args.profile}_bs256"
+    else:
+        metric = f"decoder_train_examples_per_s_{args.profile}_bs256"
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
     )
