@@ -220,7 +220,7 @@ class GenerationCache(NamedTuple):
     jagged encoder cache to B*k rows and re-projected K/V from it on every
     step of every beam (model.py:219-228 + attention.py wkv per forward)."""
 
-    kv: tuple                # transformer.cross_kv output, entries (B,H,Nc,Dh)
+    kv: tuple                # transformer.cross_kv output, entries (B,Nc,H,Dh)
     ctx_mask: jax.Array      # (B, Nc) bool
 
 

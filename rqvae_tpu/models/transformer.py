@@ -207,7 +207,7 @@ def cross_kv(params, cfg: TransformerConfig, context: jax.Array):
     """Precompute every decoder block's cross-attention K/V from the encoder
     output — the generation loop's KV cache (the reference wrote a KV cache
     but hard-disabled it, attention.py:161; here it is the designed-in path).
-    Returns a list over decoder blocks of (k, v), each (B, H, Nc, Dh)."""
+    Returns a list over decoder blocks of (k, v), each (B, Nc, H, Dh)."""
     out = []
     for block in params["decoder"]:
         p = block["cross_attn"]
@@ -223,21 +223,18 @@ def cross_kv(params, cfg: TransformerConfig, context: jax.Array):
 
 
 def _fold_beams(x: jax.Array, beams: int) -> jax.Array:
-    """(B*beams, H, Nf, Dh) -> (B, H, beams*Nf, Dh): beams of one row share
-    cross-attention K/V, so they ride the query axis of one attention call."""
-    bk, h, nf, dh = x.shape
+    """(B*beams, Nf, H, Dh) -> (B, beams*Nf, H, Dh): beams of one row share
+    cross-attention K/V, so they ride the query axis of one attention call.
+    In the BNHD layout this is a pure reshape (beams and Nf are adjacent)."""
+    bk, nf, h, dh = x.shape
     b = bk // beams
-    return x.reshape(b, beams, h, nf, dh).transpose(0, 2, 1, 3, 4).reshape(
-        b, h, beams * nf, dh
-    )
+    return x.reshape(b, beams * nf, h, dh)
 
 
 def _unfold_beams(x: jax.Array, beams: int) -> jax.Array:
-    b, h, bn, dh = x.shape
+    b, bn, h, dh = x.shape
     nf = bn // beams
-    return x.reshape(b, h, beams, nf, dh).transpose(0, 2, 1, 3, 4).reshape(
-        b * beams, h, nf, dh
-    )
+    return x.reshape(b * beams, nf, h, dh)
 
 
 def decode_with_kv(

@@ -7,22 +7,23 @@ from rqvae_tpu.ops import attention as A
 
 
 def _qkv(b=2, h=3, nq=5, nk=7, dh=4, seed=0):
+    """(B, N, H, Dh) layout — the attention stack's canonical layout."""
     rng = np.random.RandomState(seed)
-    q = jnp.asarray(rng.randn(b, h, nq, dh).astype(np.float32))
-    k = jnp.asarray(rng.randn(b, h, nk, dh).astype(np.float32))
-    v = jnp.asarray(rng.randn(b, h, nk, dh).astype(np.float32))
+    q = jnp.asarray(rng.randn(b, nq, h, dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, nk, h, dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, nk, h, dh).astype(np.float32))
     return q, k, v
 
 
 def _ref_sdpa(q, k, v, mask=None):
     q, k, v = map(np.asarray, (q, k, v))
-    scores = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(q.shape[-1])
+    scores = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(q.shape[-1])
     if mask is not None:
         scores = np.where(np.asarray(mask), scores, -1e30)
     scores = scores - scores.max(-1, keepdims=True)
     p = np.exp(scores)
     p = p / p.sum(-1, keepdims=True)
-    return np.einsum("bhqk,bhkd->bhqd", p, v)
+    return np.einsum("bhqk,bkhd->bqhd", p, v)
 
 
 def test_unmasked_matches_reference():
@@ -39,8 +40,8 @@ def test_causal_mask():
     expected = _ref_sdpa(q, k, v, np.tril(np.ones((6, 6), bool))[None, None])
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
     # position 0 attends only to key 0
-    p0 = _ref_sdpa(q[:, :, :1], k[:, :, :1], v[:, :, :1])
-    np.testing.assert_allclose(got[:, :, 0], p0[:, :, 0], rtol=1e-4, atol=1e-5)
+    p0 = _ref_sdpa(q[:, :1], k[:, :1], v[:, :1])
+    np.testing.assert_allclose(got[:, 0], p0[:, 0], rtol=1e-4, atol=1e-5)
 
 
 def test_key_padding_equivalent_to_slicing():
@@ -49,7 +50,7 @@ def test_key_padding_equivalent_to_slicing():
     k_mask = jnp.asarray(np.array([[True] * 5 + [False] * 3, [True] * 8]))
     mask = A.build_mask(4, 8, k_mask=k_mask)
     got = np.asarray(A.sdpa(q, k, v, mask))
-    ref_row0 = _ref_sdpa(q[:1], k[:1, :, :5], v[:1, :, :5])
+    ref_row0 = _ref_sdpa(q[:1], k[:1, :5], v[:1, :5])
     np.testing.assert_allclose(got[0], ref_row0[0], rtol=1e-4, atol=1e-5)
 
 

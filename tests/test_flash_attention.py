@@ -9,6 +9,16 @@ from rqvae_tpu.ops import attention as attn_ops
 from rqvae_tpu.ops import flash_attention as fa
 
 
+def _sdpa_bhqd(q, k, v, mask):
+    """sdpa reference in the flash kernel's (B, H, N, Dh) layout (sdpa's
+    canonical layout is (B, N, H, Dh))."""
+    out = attn_ops.sdpa(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), mask,
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
 def _rand_qkv(rng, b, h, nq, nk, dh):
     q = jnp.asarray(rng.randn(b, h, nq, dh).astype(np.float32))
     k = jnp.asarray(rng.randn(b, h, nk, dh).astype(np.float32))
@@ -33,7 +43,7 @@ def test_flash_matches_sdpa(causal, nq, nk):
     out = fa.flash_attention(q, k, v, k_mask=k_mask, causal=causal,
                              block_q=32, interpret=True)
     ref_mask = attn_ops.build_mask(nq, nk, causal=causal, k_mask=k_mask)
-    ref = attn_ops.sdpa(q, k, v, ref_mask)
+    ref = _sdpa_bhqd(q, k, v, ref_mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
@@ -42,7 +52,7 @@ def test_flash_no_mask():
     rng = np.random.RandomState(1)
     q, k, v = _rand_qkv(rng, 1, 2, 33, 33, 8)
     out = fa.flash_attention(q, k, v, block_q=16, interpret=True)
-    ref = attn_ops.sdpa(q, k, v, None)
+    ref = _sdpa_bhqd(q, k, v, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
@@ -71,7 +81,7 @@ def test_flash_gradients_match_sdpa(causal):
 
     def loss_ref(q, k, v):
         mask = attn_ops.build_mask(24, 24, causal=causal, k_mask=k_mask)
-        out = attn_ops.sdpa(q, k, v, mask)
+        out = _sdpa_bhqd(q, k, v, mask)
         return jnp.sum(out * out)
 
     g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
@@ -88,7 +98,7 @@ def test_flash_q_padding_tail():
     k_mask = _ragged_mask(rng, 1, 40)
     out = fa.flash_attention(q, k, v, k_mask=k_mask, block_q=16,
                              interpret=True)
-    ref = attn_ops.sdpa(q, k, v, attn_ops.build_mask(21, 40, k_mask=k_mask))
+    ref = _sdpa_bhqd(q, k, v, attn_ops.build_mask(21, 40, k_mask=k_mask))
     assert out.shape == (1, 2, 21, 8)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
