@@ -26,26 +26,33 @@ def batch_hit_counts(
     actual: jax.Array,      # (B, D) int32
     top_k: jax.Array,       # (B, n_beams, D) int32
     ks: Sequence[int] = (1, 5, 10),
+    valid: jax.Array = None,  # (B,) bool — False rows are padding, not counted
 ) -> Dict[str, jax.Array]:
-    """Count hits for one eval batch (reference metrics.py:15-28)."""
+    """Count hits for one eval batch (reference metrics.py:15-28).
+
+    ``valid`` lets callers pad eval batches to a fixed global shape (the
+    beam-search program is shape-specialized) and mask the padding out under
+    jit — so the counts are replicated scalars even when the batch is sharded
+    over a multi-host 'data' axis.
+    """
     b, d = actual.shape
-    n_beams = top_k.shape[1]
+    if valid is None:
+        valid = jnp.ones((b,), bool)
     pos_match = actual[:, None, :] == top_k  # (B, n_beams, D)
     out: Dict[str, jax.Array] = {}
-    beam_pos = jnp.arange(n_beams)
     for i in range(d):
         for name, match in (
             (f"slice_:{i + 1}", jnp.all(pos_match[..., : i + 1], axis=-1)),
             (f"pos_{i}", pos_match[..., i]),
         ):
-            found = jnp.any(match, axis=-1)                     # (B,)
+            found = jnp.any(match, axis=-1) & valid             # (B,)
             rank = jnp.argmax(match, axis=-1)                   # first hit
             for kk in ks:
                 out[f"h@{kk}_{name}"] = jnp.sum(found & (rank < kk))
         # NDCG on the exact-item slice
         if i == d - 1:
             match = jnp.all(pos_match, axis=-1)
-            found = jnp.any(match, axis=-1)
+            found = jnp.any(match, axis=-1) & valid
             rank = jnp.argmax(match, axis=-1)
             gain = 1.0 / jnp.log2(rank.astype(jnp.float32) + 2.0)
             for kk in ks:
@@ -68,9 +75,15 @@ class TopKAccumulator:
 
     def accumulate(self, actual, top_k) -> None:
         counts = batch_hit_counts(jnp.asarray(actual), jnp.asarray(top_k), self.ks)
+        self.accumulate_counts(counts, int(np.asarray(actual).shape[0]))
+
+    def accumulate_counts(self, counts: Dict[str, object], n_rows: int) -> None:
+        """Fold in precomputed per-batch counts (e.g. from a jitted
+        batch_hit_counts over a mesh-sharded batch, where the counts come
+        back as replicated scalars identical on every host)."""
         for key, value in counts.items():
             self.metrics[key] = self.metrics.get(key, 0.0) + float(value)
-        self.total += int(np.asarray(actual).shape[0])
+        self.total += int(n_rows)
 
     def reduce(self) -> Dict[str, float]:
         return {k: v / self.total for k, v in self.metrics.items()}

@@ -82,6 +82,33 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def replicate_host_array(tree, mesh: Mesh):
+    """Fully-replicated global array(s) from identical per-host data.
+
+    Multi-process: every host must pass the SAME data (eval splits and the
+    item corpus are loaded from the same artifacts on all hosts); the result
+    is a valid global jax.Array usable alongside mesh-sharded params. Single
+    process: a plain replicated device_put. Accepts pytrees."""
+    sharding = NamedSharding(mesh, P())
+
+    def put(x):
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, tree)
+
+
+def host_block(global_idx: np.ndarray, local_rows: int) -> np.ndarray:
+    """This process's contiguous block of a global batch's row indices
+    (the eval-side mirror of split_batches: host p feeds rows
+    [p*local, (p+1)*local) of every global batch)."""
+    p = jax.process_index()
+    return global_idx[p * local_rows:(p + 1) * local_rows]
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

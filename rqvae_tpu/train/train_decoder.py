@@ -31,7 +31,7 @@ import numpy as np
 from rqvae_tpu.data import registry
 from rqvae_tpu.data.dataset import make_seq_batch
 from rqvae_tpu.data.schemas import SeqBatch
-from rqvae_tpu.evaluate.metrics import TopKAccumulator
+from rqvae_tpu.evaluate.metrics import TopKAccumulator, batch_hit_counts
 from rqvae_tpu.models import generation, retrieval
 from rqvae_tpu.models import rqvae as rqvae_lib
 from rqvae_tpu.models.quantize import QuantizeForwardMode
@@ -273,7 +273,7 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
     opt_state = jax.device_put(
         opt_state, mesh_lib.dp_param_shardings(opt_state, device_mesh)
     )
-    index = jax.device_put(index, mesh_lib.replicated(device_mesh))
+    index = mesh_lib.replicate_host_array(index, device_mesh)
 
     accum = max(1, cfg.gradient_accumulate_every)
     step_fn = jax.jit(
@@ -286,6 +286,13 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
         tok = semids.tokenize_sequences(index, batch)
         out = retrieval.forward(p, model_cfg, tok, training=False)
         return out.loss, out.loss_d
+
+    @jax.jit
+    def hit_counts_fn(actual, top_k, valid):
+        counts = batch_hit_counts(
+            actual, top_k, metrics_acc.ks, valid=valid
+        )
+        return counts, jnp.sum(valid)
 
     @jax.jit
     def generate_fn(p, batch, r):
@@ -344,20 +351,29 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
             logger.log(it + 1, m, force=True)
 
         last = it + 1 == start_iter + cfg.iterations
-        # eval paths run replicated single-host arrays; multi-host eval is
-        # deferred (train is the multi-host path — see parallel/mesh.py)
-        do_eval_here = jax.process_count() == 1
-        if do_eval_here and ((it + 1) % cfg.partial_eval_every == 0 or last):
+        # eval mirrors training's distribution: every global eval batch is
+        # assembled from per-host contiguous blocks and sharded over 'data',
+        # so losses/hit counts come back as replicated scalars identical on
+        # all hosts — multi-host eval needs no separate reduction path.
+        n_eval_rows = len(bundle.eval_seqs)
+        if (it + 1) % cfg.partial_eval_every == 0 or last:
             losses = []
-            for eb in range(min(cfg.eval_batches,
-                                max(1, len(bundle.eval_seqs) // cfg.batch_size))):
+            eval_mask = None
+            n_batches = min(cfg.eval_batches,
+                            max(1, n_eval_rows // cfg.batch_size))
+            for eb in range(n_batches):
                 lo = eb * cfg.batch_size
-                idx = np.arange(lo, min(lo + cfg.batch_size, len(bundle.eval_seqs)))
-                if idx.size == 0:
-                    break
+                # wrap small eval sets instead of shipping a one-off tail
+                # shape through the jit program
+                global_idx = np.minimum(
+                    np.arange(lo, lo + cfg.batch_size), n_eval_rows - 1
+                )
+                idx = mesh_lib.host_block(global_idx, local_bs)
                 b = make_seq_batch(bundle.eval_seqs.batch_at(idx), bundle.items.x,
                                    with_features=False)
-                l, _ = eval_loss_fn(params, jax.tree.map(jnp.asarray, b))
+                l, _ = eval_loss_fn(
+                    params, mesh_lib.shard_batch(b, device_mesh, axis=0)
+                )
                 losses.append(float(l))
                 eval_mask = b.seq_mask
             logger.log(
@@ -367,27 +383,29 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
                 force=True,
             )
 
-        if do_eval_here and ((it + 1) % cfg.full_eval_every == 0 or last):
+        if (it + 1) % cfg.full_eval_every == 0 or last:
             metrics_acc.reset()
-            n_eval = min(cfg.eval_batches * cfg.batch_size, len(bundle.eval_seqs))
+            n_eval = min(cfg.eval_batches * cfg.batch_size, n_eval_rows)
             for lo in range(0, n_eval, cfg.batch_size):
-                idx = np.arange(lo, min(lo + cfg.batch_size, n_eval))
-                n_real = idx.size
-                if n_real < cfg.batch_size:
-                    # pad the tail to a full batch: the 4-step beam-search
-                    # program is shape-specialized, and a one-off tail shape
-                    # would recompile it (~30s) for a few rows
-                    idx = np.concatenate(
-                        [idx, np.full(cfg.batch_size - n_real, idx[-1])]
-                    )
+                # pad the tail to a full batch: the 4-step beam-search
+                # program is shape-specialized, and a one-off tail shape
+                # would recompile it (~30s) for a few rows; padding rows are
+                # masked out of the counts under jit
+                global_idx = np.arange(lo, lo + cfg.batch_size)
+                valid = global_idx < min(lo + cfg.batch_size, n_eval)
+                global_idx = np.minimum(global_idx, n_eval - 1)
+                idx = mesh_lib.host_block(global_idx, local_bs)
                 b = make_seq_batch(bundle.eval_seqs.batch_at(idx), bundle.items.x,
                                    with_features=False)
-                rng, gen_key = jax.random.split(rng)
-                gen, actual = generate_fn(
-                    params, jax.tree.map(jnp.asarray, b), gen_key
+                b_dev = mesh_lib.shard_batch(b, device_mesh, axis=0)
+                valid_dev = mesh_lib.shard_batch(
+                    mesh_lib.host_block(valid, local_bs), device_mesh, axis=0
                 )
-                metrics_acc.accumulate(
-                    actual[:n_real], gen.sem_ids[:n_real]
+                rng, gen_key = jax.random.split(rng)
+                gen, actual = generate_fn(params, b_dev, gen_key)
+                counts, n_rows = hit_counts_fn(actual, gen.sem_ids, valid_dev)
+                metrics_acc.accumulate_counts(
+                    jax.device_get(counts), int(n_rows)
                 )
             logger.log(it + 1, metrics_acc.reduce(), force=True)
 

@@ -282,7 +282,7 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
         params = rqvae_lib.kmeans_prime(
             params,
             model_cfg,
-            jnp.asarray(train_x[:n_prime]),
+            mesh_lib.replicate_host_array(train_x[:n_prime], device_mesh),
             prime_key,
             gumbel_t=cfg.gumbel_temperature,
         )
@@ -337,19 +337,30 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
             logger.log(it + 1, m, force=True)
 
         last = it + 1 == start_iter + cfg.iterations
-        # eval runs replicated single-host arrays (see train_decoder note)
-        if cfg.do_eval and jax.process_count() == 1 and (
-            (it + 1) % cfg.eval_every == 0 or last
-        ):
+        # eval mirrors training's distribution: global batches assembled from
+        # per-host contiguous blocks, sharded over 'data' — the loss means
+        # come back as replicated scalars identical on every host, so
+        # multi-host eval needs no separate reduction path
+        if cfg.do_eval and ((it + 1) % cfg.eval_every == 0 or last):
             losses = []
-            for eb in range(cfg.eval_batches):
+            n_eval_rows = eval_x.shape[0]
+            n_batches = min(cfg.eval_batches,
+                            max(1, n_eval_rows // cfg.batch_size))
+            for eb in range(n_batches):
                 lo = eb * cfg.batch_size
-                if lo >= eval_x.shape[0]:
-                    break
-                xe = eval_x[lo: lo + cfg.batch_size]
-                losses.append([float(v) for v in eval_fn(params, jnp.asarray(xe))])
+                # wrap small eval sets instead of shipping a one-off tail
+                # shape through the jit program
+                global_idx = np.minimum(
+                    np.arange(lo, lo + cfg.batch_size), n_eval_rows - 1
+                )
+                xe = eval_x[mesh_lib.host_block(global_idx, local_bs)]
+                xe = mesh_lib.shard_batch(xe, device_mesh, axis=0)
+                losses.append([float(v) for v in eval_fn(params, xe)])
             ev = np.asarray(losses).mean(axis=0)
-            div = id_diversity_metrics(params, model_cfg, jnp.asarray(index_x))
+            div = id_diversity_metrics(
+                params, model_cfg,
+                mesh_lib.replicate_host_array(index_x, device_mesh),
+            )
             logger.log(
                 it + 1,
                 {
