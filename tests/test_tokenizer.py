@@ -167,3 +167,80 @@ def test_subsample_batch_semantics():
     for row in ids:
         v = row >= 0
         assert not (~v[:-1] & v[1:]).any()
+
+
+def test_children_mask_matches_exists_prefix():
+    """children_mask (contiguous-run enumeration) == brute-force membership
+    of every (prefix, token) extension, valid and invalid prefixes alike."""
+    rng = np.random.RandomState(3)
+    cached = rng.randint(0, 8, size=(60, 4)).astype(np.int32)
+    index = semids.build_index(jnp.asarray(cached), codebook_size=32)
+    for l in range(0, 4):
+        queries = rng.randint(0, 9, size=(25, l)).astype(np.int32)  # some invalid
+        got = np.asarray(semids.children_mask(index, jnp.asarray(queries)))
+        assert got.shape == (25, 32)
+        ext = np.concatenate(
+            [
+                np.repeat(queries[:, None, :], 32, axis=1),
+                np.tile(np.arange(32, dtype=np.int32)[None, :, None], (25, 1, 1)),
+            ],
+            axis=-1,
+        )  # (25, 32, l+1)
+        expected = np.array([
+            [any((cached[:, : l + 1] == e).all(axis=1)) for e in row]
+            for row in ext
+        ])
+        np.testing.assert_array_equal(got, expected)
+
+
+def test_children_mask_max_prefix_no_overflow():
+    """The all-max prefix at the 32-bit packing limit must still find its
+    children (the naive (pk+1)*radix upper bound wraps to 0)."""
+    cached = np.array([[255, 255, 255, 0], [255, 255, 254, 0]], np.int32)
+    index = semids.build_index(jnp.asarray(cached), codebook_size=256)
+    mask = np.asarray(
+        semids.children_mask(index, jnp.asarray([[255, 255, 255]], np.int32))
+    )[0]
+    assert mask[0] and mask.sum() == 1
+
+
+def test_children_mask_dedup_ranks_beyond_codebook():
+    """Dedup ranks >= codebook_size exist in the table but are not
+    generatable; the mask must cover ranks < K and drop the rest."""
+    n = 40
+    cached = np.zeros((n, 4), np.int32)
+    cached[:, -1] = np.arange(n)  # 40 duplicates of the same 3-tuple
+    index = semids.build_index(jnp.asarray(cached), codebook_size=8)
+    mask = np.asarray(
+        semids.children_mask(index, jnp.asarray([[0, 0, 0]], np.int32))
+    )[0]
+    np.testing.assert_array_equal(mask, np.ones(8, bool))
+
+
+def test_rank_chained_index_large_codebook_deep():
+    """The BASELINE.json stretch shape — 4-level 2048-way codebooks (5 dims
+    with dedup) — overflows any flat positional packing (55 bits) but fits
+    rank-chained uint32 keys. Membership + children must match brute force."""
+    rng = np.random.RandomState(7)
+    cached = rng.randint(0, 2048, size=(200, 5)).astype(np.int32)
+    cached[:, -1] = semids.dedup_column(jnp.asarray(cached[:, :4]), 2048)
+    index = semids.build_index(jnp.asarray(cached), codebook_size=2048)
+    assert index.sorted_keys.dtype == jnp.uint32
+    # every corpus prefix exists at every length
+    for l in (1, 3, 5):
+        got = np.asarray(semids.exists_prefix(index, index.cached_ids[:, :l]))
+        assert got.all(), f"corpus prefixes of len {l} must exist"
+    # non-members miss
+    probe = cached[:8].copy()
+    probe[:, 2] += 1  # perturb one level
+    assert not np.asarray(
+        semids.exists_prefix(index, jnp.asarray(probe[:, :4]))
+    ).any()
+    # children of a real 2-prefix match brute force
+    p = cached[:6, :2]
+    got = np.asarray(semids.children_mask(index, jnp.asarray(p)))
+    for r in range(6):
+        hits = cached[(cached[:, :2] == p[r]).all(axis=1)][:, 2]
+        expected = np.zeros(2048, bool)
+        expected[hits] = True
+        np.testing.assert_array_equal(got[r], expected)
