@@ -244,3 +244,30 @@ def test_rank_chained_index_large_codebook_deep():
         expected = np.zeros(2048, bool)
         expected[hits] = True
         np.testing.assert_array_equal(got[r], expected)
+
+
+def test_children_window_kernel_parity():
+    """Pallas children_window (interpret mode) == the jnp windowed read."""
+    from rqvae_tpu.ops.children_window import children_window
+
+    rng = np.random.RandomState(11)
+    n, r, k = 500, 70, 32
+    table = np.sort(rng.choice(2**20, n, replace=False)).astype(np.uint32)
+    lo = rng.randint(0, n, r).astype(np.int32)
+    cnt = rng.randint(0, k + 5, r).astype(np.int32)
+    key0 = (table[np.minimum(lo, n - 1)] // 7 * 7).astype(np.uint32)
+
+    got = np.asarray(children_window(
+        jnp.asarray(table), jnp.asarray(lo), jnp.asarray(cnt),
+        jnp.asarray(key0), window=k, k_tokens=k, block_r=16, interpret=True,
+    ))
+    wide = k + 128
+    assert got.shape == (r, wide)
+    padded = np.concatenate([table, np.zeros(wide + 256, np.uint32)])
+    for i in range(r):
+        aligned = lo[i] // 128 * 128
+        off = lo[i] - aligned
+        win = padded[aligned: aligned + wide].astype(np.int64) - int(key0[i])
+        idx = np.arange(wide)
+        ok = (idx >= off) & (idx < off + cnt[i]) & (win >= 0) & (win < k)
+        np.testing.assert_array_equal(got[i], np.where(ok, win, k))
