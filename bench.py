@@ -32,8 +32,16 @@ import numpy as np
 PROFILES = {
     # name: (n_hist items, batch, corpus items)
     "amazon": dict(n_hist=20, batch_size=256, n_items=12101),
+    # length-bucketed grad accumulation (exact flat-step gradients, fewer
+    # padded tokens). MEASURED SLOWER on one v5e at this scale — 4.5k/5.6k
+    # ex/s at 4/2 buckets vs 10.1k flat: per-program overhead and small
+    # per-group batches beat the ~30% padded-FLOP saving. Kept as a profile
+    # (and an opt-in train config) for larger-batch / multi-chip shapes.
+    "amazon_bucketed": dict(n_hist=20, batch_size=256, n_items=12101,
+                            buckets=2),
     "ml32m": dict(n_hist=200, batch_size=256, n_items=84432),
-    # serving: constrained beam search queries/s (k=32, 200 candidates)
+    # serving: constrained beam search queries/s (k=32 beams, exhaustive
+    # candidates — a superset of the reference's 200-sample protocol)
     "amazon_generate": dict(n_hist=20, batch_size=256, n_items=12101),
 }
 
@@ -74,6 +82,10 @@ def run_generate_profile(p) -> float:
     # generation takes the exhaustive path — strictly MORE candidates than
     # the reference's 200-sample protocol (a superset), and faster: no
     # Gumbel noise, no candidate top-k, no per-sample logp gather.
+    # Serving runs bf16 weights (logits are promoted to fp32 before the
+    # softmax/score math inside generate_next_sem_ids).
+    from rqvae_tpu.utils import amp
+    params = amp.cast_floating(params, jnp.bfloat16)
     gen = jax.jit(
         lambda pp, bt, r: generation.generate_next_sem_ids(
             pp, cfg, index, bt, r, k=32, n_candidates=256
@@ -104,7 +116,11 @@ def run_profile(name: str) -> float:
     from rqvae_tpu.models.retrieval import RetrievalConfig
     from rqvae_tpu.tokenizer import semids
     from rqvae_tpu.train import optim
-    from rqvae_tpu.train.train_decoder import make_train_step
+    from rqvae_tpu.train.train_decoder import (
+        bucket_slices,
+        make_bucketed_fns,
+        make_train_step,
+    )
 
     p = PROFILES[name]
     if name.endswith("_generate"):
@@ -130,23 +146,56 @@ def run_profile(name: str) -> float:
     lengths = rng.randint(3, n_hist + 1, (batch_size,))
     mask = np.arange(n_hist)[None, :] < lengths[:, None]
     ids = np.where(mask, ids, -1)
-    batch = SeqBatch(  # leading accum=1 axis for the scan-based step
-        user_ids=jnp.asarray(np.arange(batch_size, dtype=np.int32)[None]),
-        ids=jnp.asarray(ids[None]),
-        ids_fut=jnp.asarray(
-            rng.randint(0, n_items, (1, batch_size, 1)).astype(np.int32)
-        ),
-        x=jnp.zeros((1, batch_size, 1)),
-        x_fut=jnp.zeros((1, batch_size, 1)),
-        seq_mask=jnp.asarray(mask[None]),
-    )
-
-    train_step = jax.jit(
-        make_train_step(cfg, opt, index, 1, jnp.bfloat16, 4),
-        donate_argnums=(0, 1),
-    )
-
+    ids_fut = rng.randint(0, n_items, (batch_size, 1)).astype(np.int32)
     key = jax.random.key(1, impl="rbg")  # the train loop's default PRNG
+
+    if p.get("buckets", 1) > 1:
+        # the train loop's length-bucketed path (exact same gradients as
+        # the flat step, fewer padded tokens) — see train_decoder.py
+        n_buckets = p["buckets"]
+        grad_accum_fn, apply_fn = make_bucketed_fns(
+            cfg, opt, index, jnp.bfloat16, 4
+        )
+        zeros_fn = jax.jit(lambda pp: jax.tree.map(jnp.zeros_like, pp))
+        groups = []
+        for rows, length in bucket_slices(mask.sum(axis=1), n_buckets):
+            groups.append(SeqBatch(
+                user_ids=jnp.asarray(rows.astype(np.int32)),
+                ids=jnp.asarray(ids[rows, :length]),
+                ids_fut=jnp.asarray(ids_fut[rows]),
+                x=jnp.zeros((len(rows), 1)),
+                x_fut=jnp.zeros((len(rows), 1)),
+                seq_mask=jnp.asarray(ids[rows, :length] >= 0),
+            ))
+        w = jnp.float32(1.0 / n_buckets)
+
+        def train_step(params, opt_state, _batch, sub):
+            grads = zeros_fn(params)
+            loss = jnp.float32(0.0)
+            loss_d = jnp.zeros((4,), jnp.float32)
+            for gi, bg in enumerate(groups):
+                grads, loss, loss_d = grad_accum_fn(
+                    params, grads, loss, loss_d, bg,
+                    jax.random.fold_in(sub, gi), w,
+                )
+            params, opt_state = apply_fn(params, opt_state, grads)
+            return params, opt_state, {"total_loss": loss}
+
+        batch = None
+    else:
+        batch = SeqBatch(  # leading accum=1 axis for the scan-based step
+            user_ids=jnp.asarray(np.arange(batch_size, dtype=np.int32)[None]),
+            ids=jnp.asarray(ids[None]),
+            ids_fut=jnp.asarray(ids_fut[None]),
+            x=jnp.zeros((1, batch_size, 1)),
+            x_fut=jnp.zeros((1, batch_size, 1)),
+            seq_mask=jnp.asarray(mask[None]),
+        )
+        train_step = jax.jit(
+            make_train_step(cfg, opt, index, 1, jnp.bfloat16, 4),
+            donate_argnums=(0, 1),
+        )
+
     for _ in range(20):  # compile + ramp past the fresh-process slow start
         key, sub = jax.random.split(key)
         params, opt_state, metrics = train_step(params, opt_state, batch, sub)

@@ -166,3 +166,72 @@ def test_cli_main(tmp_path, capsys):
     out = capsys.readouterr().out
     lines = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
     assert any("total_loss" in l for l in lines)
+
+
+def test_length_bucketed_grads_match_flat_step():
+    """Length-bucketed gradient accumulation computes EXACTLY the same
+    update as the flat step: same samples, mean-of-means over equal groups."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rqvae_tpu.data.dataset import make_seq_batch
+    from rqvae_tpu.models import retrieval
+    from rqvae_tpu.models.retrieval import RetrievalConfig
+    from rqvae_tpu.tokenizer import semids
+    from rqvae_tpu.train.train_decoder import bucket_slices
+    from rqvae_tpu.utils import amp
+
+    cfg = RetrievalConfig(
+        embedding_dim=16, attn_dim=32, dropout=0.0, num_heads=4, n_layers=2,
+        num_embeddings=16, sem_id_dim=4, max_pos=40, input_dropout=0.0,
+    )
+    rng = np.random.RandomState(0)
+    n_items, bsz = 60, 16
+    cached = rng.randint(0, 16, (n_items, 3)).astype(np.int32)
+    cached = np.concatenate(
+        [cached, np.asarray(semids.dedup_column(jnp.asarray(cached), 16))[:, None]],
+        axis=1,
+    ).astype(np.int32)
+    index = semids.build_index(jnp.asarray(cached), codebook_size=16)
+    params = retrieval.init(jax.random.PRNGKey(0), cfg)
+
+    ids = rng.randint(0, n_items, (bsz, 10)).astype(np.int32)
+    lengths = rng.randint(3, 11, (bsz,))
+    ids = np.where(np.arange(10)[None] < lengths[:, None], ids, -1)
+    raw = {
+        "user_ids": np.arange(bsz, dtype=np.int32),
+        "ids": ids,
+        "ids_fut": rng.randint(0, n_items, (bsz, 1)).astype(np.int32),
+    }
+    item_x = np.zeros((n_items, 1), np.float32)
+
+    def loss_fn(p, batch):
+        tok = semids.tokenize_sequences(index, batch)
+        out = retrieval.forward(
+            amp.cast_floating(p, jnp.float32), cfg, tok, training=False
+        )
+        return out.loss
+
+    flat = make_seq_batch(raw, item_x, with_features=False)
+    flat_grads = jax.grad(loss_fn)(params, jax.tree.map(jnp.asarray, flat))
+
+    n_buckets = 4
+    acc = jax.tree.map(jnp.zeros_like, params)
+    for rows, length in bucket_slices((ids >= 0).sum(axis=1), n_buckets):
+        sub = {"user_ids": raw["user_ids"][rows],
+               "ids": raw["ids"][rows, :length],
+               "ids_fut": raw["ids_fut"][rows]}
+        g = jax.grad(loss_fn)(
+            params,
+            jax.tree.map(jnp.asarray, make_seq_batch(sub, item_x,
+                                                     with_features=False)),
+        )
+        acc = jax.tree.map(lambda a, b: a + b / n_buckets, acc, g)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        ),
+        acc, flat_grads,
+    )
