@@ -38,40 +38,40 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *,
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
                   causal: bool, block_q: int):
+    """The kernel is VPU-bound at Dh=64 (128 MXU flops per score element vs
+    every elementwise pass over the (TQ, Nk) matrix), so the math is arranged
+    to minimize N^2-element passes: the key mask arrives as an additive fp32
+    bias (no where), and the 1/sum normalization and the empty-row guard are
+    folded into the (TQ, Dh) output instead of the (TQ, Nk) probabilities."""
     i = pl.program_id(2)
     # inputs stay in their storage dtype (bf16 under amp) so the MXU runs at
     # native rate; accumulation is fp32 via preferred_element_type
     q = q_ref[0, 0]                              # (TQ, Dh)
     k = k_ref[0, 0]                              # (Nk, Dh)
     v = v_ref[0, 0]                              # (Nk, Dh)
-    kmask = mask_ref[0, 0] != 0                  # (Nk,)
 
     scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                    # (TQ, Nk) fp32
+    ) * scale + bias_ref[0]                      # (TQ, Nk) fp32
 
-    valid = jnp.broadcast_to(kmask[None, :], scores.shape)
     if causal:
         rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        valid = jnp.logical_and(valid, cols <= rows + i * block_q)
+        scores = jnp.where(cols <= rows + i * block_q, scores, NEG_INF)
 
-    scores = jnp.where(valid, scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
+    e = jnp.exp(scores - m)                      # all-invalid rows: e == 1
     s = jnp.sum(e, axis=-1, keepdims=True)
-    probs = e / s
-    # rows with no valid key: zeros, matching attention.sdpa
-    any_valid = jnp.any(valid, axis=-1, keepdims=True)
-    probs = jnp.where(any_valid, probs, 0.0)
     out = jax.lax.dot_general(
-        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    out_ref[0, 0] = out.astype(out_ref.dtype)
+    # rows with no valid key (m at the mask floor): zeros, like attention.sdpa
+    inv = jnp.where(m > 0.5 * NEG_INF, 1.0 / s, 0.0)
+    out_ref[0, 0] = (out * inv).astype(out_ref.dtype)
 
 
 def _flash_forward(q, k, v, k_mask, *, causal: bool, block_q: int,
@@ -85,8 +85,9 @@ def _flash_forward(q, k, v, k_mask, *, causal: bool, block_q: int,
     nqp = nq + pad_q
     # (B, 1, Nk): TPU block shapes must tile the last two dims by (8, 128) or
     # match the array dims exactly; a (1, Nk) block of a (B, Nk) array does
-    # neither when B > 1.
-    mask_i32 = k_mask.astype(jnp.int32)[:, None, :]
+    # neither when B > 1. The mask ships as an additive fp32 bias so the
+    # kernel adds it in one pass instead of a broadcast where.
+    mask_bias = jnp.where(k_mask, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
 
     kernel = functools.partial(_flash_kernel, causal=causal, block_q=block_q)
     out = pl.pallas_call(
@@ -113,46 +114,52 @@ def _flash_forward(q, k, v, k_mask, *, causal: bool, block_q: int,
             transcendentals=b * h * nqp * nk,
         ),
         interpret=interpret,
-    )(q, k, v, mask_i32)
+    )(q, k, v, mask_bias)
     return out[:, :, :nq]
 
 
-def _flash_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
                       dq_ref, dk_ref, dv_ref, *, causal: bool, block_q: int):
     """Per-q-block backward: recompute p, then
     ds = p * (dp - rowsum(dp * p)); dq = ds k; dk += ds^T q; dv += p^T g.
     dk/dv blocks are revisited across the (sequential, minor) q-block grid
-    dimension and accumulated in fp32."""
+    dimension and accumulated in fp32.
+
+    Like the forward, arranged to minimize (TQ, Nk)-element VPU passes: the
+    1/sum normalization stays row-folded — with unnormalized e and per-row
+    inv = 1/s,  p = e*inv,  so
+      dv = p^T g          = e^T (g * inv)         (scale g rows instead)
+      c  = rowsum(dp * p) = rowsum(dp * e) * inv
+      ds = p * (dp - c)   = e * ((dp - c) * inv)
+    and matmul operands are cast to the input dtype so the MXU runs at
+    native (bf16) rate rather than fp32 rate."""
     i = pl.program_id(2)
     q = q_ref[0, 0]                              # (TQ, Dh)
     k = k_ref[0, 0]                              # (Nk, Dh)
     v = v_ref[0, 0]                              # (Nk, Dh)
-    g = g_ref[0, 0].astype(jnp.float32)          # (TQ, Dh)
-    kmask = mask_ref[0, 0] != 0                  # (Nk,)
+    g = g_ref[0, 0]                              # (TQ, Dh)
 
     scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    valid = jnp.broadcast_to(kmask[None, :], scores.shape)
+    ) * scale + bias_ref[0]
     if causal:
         rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        valid = jnp.logical_and(valid, cols <= rows + i * block_q)
-    scores = jnp.where(valid, scores, NEG_INF)
+        scores = jnp.where(cols <= rows + i * block_q, scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    any_valid = jnp.any(valid, axis=-1, keepdims=True)
-    p = jnp.where(any_valid, p, 0.0)             # (TQ, Nk) fp32
+    e = jnp.exp(scores - m)                      # (TQ, Nk) unnormalized
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    inv = jnp.where(m > 0.5 * NEG_INF, 1.0 / s, 0.0)   # (TQ, 1)
 
     dp = jax.lax.dot_general(                     # g v^T
         g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (TQ, Nk)
+    c = jnp.sum(dp * e, axis=-1, keepdims=True) * inv
+    ds = (e * ((dp - c) * inv)).astype(k.dtype)  # (TQ, Nk)
 
     dq_ref[0, 0] = jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        ds, k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
 
@@ -162,11 +169,12 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
         dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
 
     dk_ref[0, 0] += jax.lax.dot_general(          # ds^T q
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        ds, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
-    dv_ref[0, 0] += jax.lax.dot_general(          # p^T g
-        p.astype(jnp.float32), g, (((0,), (0,)), ((), ())),
+    g_n = (g.astype(jnp.float32) * inv).astype(g.dtype)  # (TQ, Dh)
+    dv_ref[0, 0] += jax.lax.dot_general(          # p^T g = e^T (g * inv)
+        e.astype(g.dtype), g_n, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -181,7 +189,7 @@ def _flash_backward(q, k, v, k_mask, g, *, causal: bool, block_q: int,
         q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
         g = jnp.pad(g, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
     nqp = nq + pad_q
-    mask_i32 = k_mask.astype(jnp.int32)[:, None, :]
+    mask_bias = jnp.where(k_mask, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
 
     kernel = functools.partial(_flash_bwd_kernel, causal=causal,
                                block_q=block_q)
@@ -214,7 +222,7 @@ def _flash_backward(q, k, v, k_mask, g, *, causal: bool, block_q: int,
             transcendentals=b * h * nqp * nk,
         ),
         interpret=interpret,
-    )(q, k, v, mask_i32, g)
+    )(q, k, v, mask_bias, g)
     return (
         dq[:, :, :nq].astype(q.dtype),
         dk.astype(k.dtype),
@@ -244,6 +252,15 @@ def _flash_bwd(causal, block_q, interpret, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def default_block_q(nq: int, nk: int) -> int:
+    """Largest q-block whose fp32 score matrix stays within a ~3 MB VMEM
+    budget, 128-aligned. Bigger blocks amortize per-program overhead and the
+    per-program K/V fetch: at the ML-32M shape (B=256, H=8, N=801, bf16,
+    one v5e) fwd is 23.5 ms at block_q=128 vs 13.0 ms at full-N blocks."""
+    budget_rows = max(128, (3 * 1024 * 1024 // (nk * 4)) // 128 * 128)
+    return min(-(-nq // 128) * 128, budget_rows)
+
+
 def flash_attention(
     q: jax.Array,               # (B, H, Nq, Dh)
     k: jax.Array,               # (B, H, Nk, Dh)
@@ -251,7 +268,7 @@ def flash_attention(
     *,
     k_mask: jax.Array | None = None,  # (B, Nk) bool; None = all valid
     causal: bool = False,
-    block_q: int = 128,
+    block_q: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Fused masked attention; differentiable (custom VJP)."""
@@ -259,6 +276,8 @@ def flash_attention(
         from rqvae_tpu.ops.dispatch import use_interpret
 
         interpret = use_interpret()
+    if block_q is None:
+        block_q = default_block_q(q.shape[2], k.shape[2])
     if k_mask is None:
         k_mask = jnp.ones((q.shape[0], k.shape[2]), dtype=bool)
     return _flash(q, k, v, k_mask, causal, block_q, interpret)
