@@ -86,20 +86,21 @@ def attend(
     """Structured-mask attention entry point used by the transformer.
 
     Routes to the fused Pallas flash kernel on TPU (no HBM score matrix)
-    when the score matrix is big enough for its HBM traffic to matter AND
-    there are enough (batch, head) programs to fill the chip. Measured on
-    one v5e chip (fp32, H=8, Dh=64): B=256/N=801 flash 39.9ms vs XLA 54.6ms;
-    B=64/N=801 flash 12.5ms vs XLA 8.8ms (low occupancy + redundant K/V
-    loads); B=256/N=81 flash 5.6ms vs XLA 5.2ms. Both paths parity-locked
-    by tests. The Pallas kernel tiles (batch, head) over its grid so it
-    consumes the (B, H, N, Dh) layout; the transpose at this boundary is
-    amortized by the kernel's win at the shapes that reach it.
+    when the score matrix is big enough for its HBM traffic to matter.
+    Measured on one v5e chip (bf16, H=8, Dh=64, after the full-N-block +
+    pass-minimization kernel rework): B=256/N=801 flash fwd 13.0ms vs XLA
+    90ms; B=64/N=801 flash fwd 3.7ms vs XLA 19.2ms (the old 128-row-block
+    kernel LOST this shape — the low-occupancy guard it needed is gone);
+    B=256/N=81 flash ~2.4ms vs dense ~2.2ms, within run-to-run variance — dense
+    keeps sub-256 shapes to skip the layout transpose. Both paths
+    parity-locked by tests. The Pallas kernel tiles (batch, head) over its
+    grid so it consumes the (B, H, N, Dh) layout; the transpose at this
+    boundary is amortized by the kernel's win at the shapes that reach it.
     """
     from rqvae_tpu.ops import dispatch
 
     big_scores = q.shape[1] >= 256 and k.shape[1] >= 256
-    enough_programs = q.shape[0] * q.shape[2] >= 1024
-    if dispatch.pallas_enabled() and big_scores and enough_programs:
+    if dispatch.pallas_enabled() and big_scores:
         from rqvae_tpu.ops import flash_attention as fa
 
         out = fa.flash_attention(
