@@ -77,8 +77,8 @@ def generate_next_sem_ids(
     # ---- step 0: run the encoder ONCE, cache per-block cross K/V ----
     bos_batch = batch._replace(sem_ids_fut=None, token_type_ids_fut=None)
     cache = retrieval.encode_for_generation(params, cfg, bos_batch)
-    logits = retrieval.forward_generate_cached(
-        params, cfg, cache, None, None, beams=1, n_rows=b
+    logits, self_kv = retrieval.decode_token_cached(
+        params, cfg, cache, None, None, 0, beams=1, n_rows=b
     )
     logp_dist = jax.nn.log_softmax(
         logits.astype(jnp.float32) / temperature, axis=-1
@@ -101,16 +101,26 @@ def generate_next_sem_ids(
         generated = jnp.take_along_axis(samples, top_idx, axis=-1)[..., None]
     log_probas = top_scores
 
-    # ---- steps 1..D-1: beams of growing prefixes. The cached K/V stays at
-    # B rows; beams fold into the attention query axis (transformer.
-    # decode_with_kv) — no B->B*k explosion of encoder state at all (the
-    # reference round-tripped its jagged cache through padded tensors to
+    # expand the BOS-step self-attention cache to beam rows: each of a
+    # row's k beams starts from the same single-token history
+    self_kv = jax.tree.map(
+        lambda c: jnp.broadcast_to(
+            c[:, None], (b, k) + c.shape[1:]
+        ).reshape((b * k,) + c.shape[1:]),
+        self_kv,
+    )
+
+    # ---- steps 1..D-1: beams of growing prefixes. The cross K/V cache
+    # stays at B rows (beams fold into the attention query axis); the
+    # self-attention K/V cache grows one token per step and is REORDERED by
+    # beam parent after each top-k, so each step embeds and decodes exactly
+    # one new token (the reference reprocessed the whole prefix every step
+    # AND round-tripped its jagged cache through padded tensors to
     # replicate it k times, model.py:219-228). ----
     for i in range(1, d):
         fut = generated.reshape(b * k, i)
-        logits = retrieval.forward_generate_cached(
-            params, cfg, cache, fut,
-            jnp.tile(jnp.arange(i, dtype=jnp.int32), (b * k, 1)),
+        logits, self_kv = retrieval.decode_token_cached(
+            params, cfg, cache, self_kv, fut[:, -1], i - 1,
             beams=k, n_rows=b * k,
         )
         logp_dist = jax.nn.log_softmax(
@@ -150,5 +160,15 @@ def generate_next_sem_ids(
             [parent_prefix, winner_token[..., None]], axis=-1
         )  # (B, k, i+1)
         log_probas = top_scores
+        if i < d - 1:
+            # each surviving beam inherits its parent's self-attention cache
+            self_kv = jax.tree.map(
+                lambda c: jnp.take_along_axis(
+                    c.reshape((b, k) + c.shape[1:]),
+                    parent.reshape((b, k) + (1,) * (c.ndim - 1)),
+                    axis=1,
+                ).reshape(c.shape),
+                self_kv,
+            )
 
     return GenerationOutput(sem_ids=generated, log_probas=log_probas)

@@ -267,3 +267,37 @@ def forward_generate_cached(
         cache.kv, cache.ctx_mask, beams=beams,
     )
     return out[:, -1, :] @ params["out_proj"].astype(out.dtype)
+
+
+def decode_token_cached(
+    params,
+    cfg: RetrievalConfig,
+    cache: GenerationCache,
+    self_kv,                              # None for the BOS step
+    token_ids: Optional[jax.Array],       # (n_rows,) newest token, None = BOS
+    token_type: int,                      # its sem-ID level
+    *,
+    beams: int,
+    n_rows: int,
+):
+    """Single-token generation step: embeds only the NEWEST fut token and
+    decodes it against the cross-K/V cache and the growing self-attention
+    cache (transformer.decode_step_with_kv). forward_generate_cached above
+    reprocesses the whole prefix and stays as the semantic reference —
+    tests lock this fast path to it.
+
+    Returns (logits (n_rows, K), new self_kv)."""
+    if token_ids is None:
+        emb = jnp.broadcast_to(params["bos"], (n_rows, 1, cfg.embedding_dim))
+    else:
+        tt = jnp.full((n_rows, 1), token_type, jnp.int32)
+        emb = embeddings.sem_id_embed(
+            params["sem_emb"], token_ids[:, None], tt, cfg.num_embeddings
+        ) + params["tte"][tt]
+    h = rms_norm(emb, params["norm_cxt"])
+    x_in = h @ params["in_proj"].astype(h.dtype)
+    out, self_kv = transformer.decode_step_with_kv(
+        params["transformer"], cfg.transformer, x_in, self_kv,
+        cache.kv, cache.ctx_mask, beams=beams,
+    )
+    return out[:, -1, :] @ params["out_proj"].astype(out.dtype), self_kv

@@ -268,6 +268,63 @@ def decode_with_kv(
     return x
 
 
+def decode_step_with_kv(
+    params,
+    cfg: TransformerConfig,
+    x_new: jax.Array,       # (B*beams, 1, d_model) — the NEWEST fut token only
+    self_kv,                # None (first token) or tuple per block of
+                            # (k, v) each (B*beams, T, H, Dh)
+    kv,                     # cross_kv() output per block
+    context_mask: jax.Array,
+    *,
+    beams: int = 1,
+):
+    """Single-token decoder step with a growing self-attention KV cache.
+
+    The full-prefix path (decode_with_kv) reprocesses every fut position at
+    every beam step — Σ(i+1) token passes over the 4-step loop; this step
+    processes exactly one. The newest position attends every cached one, so
+    causality is positional and needs no mask; beams reorder between steps
+    by gathering the cache along the beam axis (generation.py).
+
+    Returns (x_out (B*beams, 1, d_model), new self_kv with T+1 entries).
+    """
+    x = x_new
+    new_kv = []
+    for li, (block, (ck, cv)) in enumerate(zip(params["decoder"], kv)):
+        h = rms_norm(x, block["attn_norm"])
+        p = block["attn"]
+        qkv = h @ p["wqkv"].astype(h.dtype)
+        q1, k1, v1 = (
+            attn_ops.split_heads(t, cfg.num_heads)
+            for t in jnp.split(qkv, 3, axis=-1)
+        )
+        if self_kv is None:
+            k_full, v_full = k1, v1
+        else:
+            pk, pv = self_kv[li]
+            k_full = jnp.concatenate([pk, k1], axis=1)
+            v_full = jnp.concatenate([pv, v1], axis=1)
+        new_kv.append((k_full, v_full))
+        sa = attn_ops.merge_heads(
+            attn_ops.attend(q1, k_full, v_full, causal=False)
+        ) @ p["proj"].astype(x.dtype)
+        attn_out = x + sa
+
+        hc = rms_norm(x, block["cross_attn_norm"])  # quirk: block input x
+        pc = block["cross_attn"]
+        qf = _fold_beams(
+            attn_ops.split_heads(hc @ pc["wq"].astype(hc.dtype), cfg.num_heads),
+            beams,
+        )
+        of = attn_ops.attend(qf, ck, cv, causal=False, k_mask=context_mask)
+        cross_out = attn_ops.merge_heads(_unfold_beams(of, beams))
+        attn_out = attn_out + cross_out @ pc["proj"].astype(x.dtype)
+        ff = mlp.apply(block["ff_mlp"], rms_norm(attn_out, block["ff_norm"]))
+        x = attn_out + ff
+    return x, tuple(new_kv)
+
+
 def apply(
     params,
     cfg: TransformerConfig,
