@@ -43,7 +43,49 @@ PROFILES = {
     # serving: constrained beam search queries/s (k=32 beams, exhaustive
     # candidates — a superset of the reference's 200-sample protocol)
     "amazon_generate": dict(n_hist=20, batch_size=256, n_items=12101),
+    # stage 1: RQ-VAE tokenizer training (reference rqvae_amazon.gin shape:
+    # bs 64, 768-dim inputs, 3x256 codebooks, embed 32)
+    "rqvae": dict(batch_size=64, input_dim=768),
 }
+
+
+def run_rqvae_profile(p) -> float:
+    """Stage-1 RQ-VAE training throughput (examples/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rqvae_tpu.models import rqvae as rqvae_lib
+    from rqvae_tpu.train import optim
+    from rqvae_tpu.train.train_rqvae import make_train_step
+
+    bsz, d = p["batch_size"], p["input_dim"]
+    cfg = rqvae_lib.RqVaeConfig(
+        input_dim=d, embed_dim=32, hidden_dims=(512, 256, 128),
+        codebook_size=256, n_layers=3, n_cat_feats=0,
+    )
+    rng = np.random.RandomState(0)
+    params = rqvae_lib.init(jax.random.PRNGKey(0), cfg)
+    opt = optim.adamw(5e-4, 0.01)
+    opt_state = opt.init(params)
+    x = jnp.asarray(rng.randn(1, bsz, d).astype(np.float32))
+    step = jax.jit(
+        make_train_step(cfg, opt, 1, jnp.bfloat16), donate_argnums=(0, 1)
+    )
+    key = jax.random.key(1, impl="rbg")
+    t = jnp.float32(0.2)
+    for _ in range(20):
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = step(params, opt_state, x, sub, t)
+    float(metrics["total_loss"])
+    n_steps = 200
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = step(params, opt_state, x, sub, t)
+    final = float(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final)
+    return n_steps * bsz / dt
 
 
 def run_generate_profile(p) -> float:
@@ -125,6 +167,8 @@ def run_profile(name: str) -> float:
     p = PROFILES[name]
     if name.endswith("_generate"):
         return run_generate_profile(p)
+    if name == "rqvae":
+        return run_rqvae_profile(p)
     n_hist, batch_size, n_items = p["n_hist"], p["batch_size"], p["n_items"]
     cfg = RetrievalConfig(
         embedding_dim=128, attn_dim=512, dropout=0.3, num_heads=8, n_layers=8,
@@ -221,6 +265,8 @@ def main() -> None:
 
     if args.profile.endswith("_generate"):
         metric = f"beam_search_queries_per_s_{args.profile}_bs256"
+    elif args.profile == "rqvae":
+        metric = "rqvae_train_examples_per_s_bs64"
     else:
         metric = f"decoder_train_examples_per_s_{args.profile}_bs256"
     baseline_path = os.path.join(
