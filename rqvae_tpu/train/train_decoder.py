@@ -168,18 +168,33 @@ def load_frozen_rqvae(cfg: DecoderTrainConfig):
     return jax.tree.map(jax.lax.stop_gradient, params), vae_cfg
 
 
+def _make_microbatch_loss(model_cfg, index, compute_dtype):
+    """The ONE training loss: shared by the flat step, the length-bucketed
+    accumulator, and bench.py — so the paths cannot silently diverge."""
+
+    def microbatch_loss(params, batch: SeqBatch, rng):
+        # bf16 compute / fp32 master params when amp is on (utils/amp.py)
+        p = amp.cast_floating(params, compute_dtype)
+        tok = semids.tokenize_sequences(index, batch)
+        out = retrieval.forward(p, model_cfg, tok, training=True, rng=rng)
+        return out.loss, out.loss_d
+
+    return microbatch_loss
+
+
+def _apply_updates(opt, params, opt_state, grads):
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), params, updates)
+    return params, opt_state
+
+
 def make_bucketed_fns(model_cfg, opt, index, compute_dtype, sem_dim):
     """(grad_accum, apply) pair for length-bucketed training.
 
     ``grad_accum`` is jit-cached per group shape (the length-bucket grid
     bounds the program count); ``apply`` is the single optimizer update.
     """
-
-    def microbatch_loss(params, batch: SeqBatch, rng):
-        p = amp.cast_floating(params, compute_dtype)
-        tok = semids.tokenize_sequences(index, batch)
-        out = retrieval.forward(p, model_cfg, tok, training=True, rng=rng)
-        return out.loss, out.loss_d
+    microbatch_loss = _make_microbatch_loss(model_cfg, index, compute_dtype)
 
     def grad_accum(params, grads_acc, loss_acc, loss_d_acc, batch, rng, w):
         (loss, loss_d), grads = jax.value_and_grad(
@@ -192,11 +207,7 @@ def make_bucketed_fns(model_cfg, opt, index, compute_dtype, sem_dim):
         )
 
     def apply(params, opt_state, grads):
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = jax.tree.map(
-            lambda p, u: p + u.astype(p.dtype), params, updates
-        )
-        return params, opt_state
+        return _apply_updates(opt, params, opt_state, grads)
 
     return (
         jax.jit(grad_accum, donate_argnums=(1, 2, 3)),
@@ -217,12 +228,7 @@ def bucket_slices(lengths: np.ndarray, n_buckets: int, grid: int = 4):
 
 
 def make_train_step(model_cfg, opt, index, accum, compute_dtype, sem_dim):
-    def microbatch_loss(params, batch: SeqBatch, rng):
-        # bf16 compute / fp32 master params when amp is on (utils/amp.py)
-        p = amp.cast_floating(params, compute_dtype)
-        tok = semids.tokenize_sequences(index, batch)
-        out = retrieval.forward(p, model_cfg, tok, training=True, rng=rng)
-        return out.loss, out.loss_d
+    microbatch_loss = _make_microbatch_loss(model_cfg, index, compute_dtype)
 
     def step(params, opt_state, batch, rng):
         if accum == 1:
@@ -253,8 +259,7 @@ def make_train_step(model_cfg, opt, index, accum, compute_dtype, sem_dim):
                 scan_body, init, (batch, rngs)
             )
             grads = jax.tree.map(lambda g: g / accum, grads)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u.astype(p.dtype), params, updates)
+        params, opt_state = _apply_updates(opt, params, opt_state, grads)
         return params, opt_state, {
             "total_loss": loss / accum,
             "loss_d": loss_d / accum,
@@ -338,6 +343,15 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
         and jax.process_count() == 1
         and local_bs % cfg.length_buckets == 0
     )
+    if cfg.length_buckets > 1 and not use_buckets:
+        print(
+            f"WARNING: length_buckets={cfg.length_buckets} ignored "
+            "(requires gradient_accumulate_every=1, a single process, and "
+            f"batch size divisible by it; local_bs={local_bs}, "
+            f"accum={accum}, processes={jax.process_count()}) — training "
+            "takes the flat step.",
+            file=sys.stderr,
+        )
     if use_buckets:
         grad_accum_fn, apply_fn = make_bucketed_fns(
             model_cfg, opt, index, compute_dtype, sem_dim
@@ -374,7 +388,8 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
         )
         return gen, tok.sem_ids_fut
 
-    def sample_device_batch(host_rng) -> SeqBatch:
+    def sample_device_batch(host_rng):
+        """(sharded global SeqBatch, host-side seq mask for logging)."""
         bs = [
             make_seq_batch(
                 bundle.train_seqs.sample_batch(
@@ -386,7 +401,10 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
             for _ in range(accum)
         ]
         stacked = jax.tree.map(lambda *xs: np.stack(xs), *bs)
-        return mesh_lib.shard_batch(stacked, device_mesh, axis=1)
+        return (
+            mesh_lib.shard_batch(stacked, device_mesh, axis=1),
+            stacked.seq_mask,
+        )
 
     # per-process stream: each host samples ITS slice of the global batch
     host_rng = np.random.default_rng(cfg.seed + jax.process_index())
@@ -425,8 +443,10 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
             params, opt_state = apply_fn(params, opt_state, grads)
             metrics = {"total_loss": loss_acc, "loss_d": loss_d_acc}
         else:
-            batch = sample_device_batch(host_rng)
-            log_mask = batch.seq_mask
+            # keep the length mask host-side: the sharded global batch spans
+            # non-addressable devices in multi-host runs, so it cannot be
+            # device_get for the logging quantiles
+            batch, log_mask = sample_device_batch(host_rng)
             rng, step_key = jax.random.split(rng)
             params, opt_state, metrics = step_fn(
                 params, opt_state, batch, step_key
@@ -439,11 +459,7 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
             m.update({f"loss_{d}": loss_d[d] for d in range(sem_dim)})
             m["learning_rate"] = float(schedule(it + 1))
             m["examples_per_s"] = examples_seen / (time.monotonic() - t_start)
-            m.update(
-                debug_metrics(
-                    np.asarray(jax.device_get(log_mask)), "train", sem_dim
-                )
-            )
+            m.update(debug_metrics(np.asarray(log_mask), "train", sem_dim))
             logger.log(it + 1, m, force=True)
 
         last = it + 1 == start_iter + cfg.iterations
@@ -451,19 +467,19 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
         # assembled from per-host contiguous blocks and sharded over 'data',
         # so losses/hit counts come back as replicated scalars identical on
         # all hosts — multi-host eval needs no separate reduction path.
-        n_eval_rows = len(bundle.eval_seqs)
-        if (it + 1) % cfg.partial_eval_every == 0 or last:
+        n_eval_rows = len(bundle.eval_seqs) if bundle.eval_seqs is not None else 0
+        if n_eval_rows and ((it + 1) % cfg.partial_eval_every == 0 or last):
             losses = []
             eval_mask = None
             n_batches = min(cfg.eval_batches,
                             max(1, n_eval_rows // cfg.batch_size))
             for eb in range(n_batches):
                 lo = eb * cfg.batch_size
-                # wrap small eval sets instead of shipping a one-off tail
-                # shape through the jit program
-                global_idx = np.minimum(
-                    np.arange(lo, lo + cfg.batch_size), n_eval_rows - 1
-                )
+                # wrap small eval sets MODULO the set instead of shipping a
+                # one-off tail shape through the jit program — repeats rows
+                # near-uniformly, so the mean stays unbiased (repeating only
+                # the last row would weight one example at ~the whole batch)
+                global_idx = np.arange(lo, lo + cfg.batch_size) % n_eval_rows
                 idx = mesh_lib.host_block(global_idx, local_bs)
                 b = make_seq_batch(bundle.eval_seqs.batch_at(idx), bundle.items.x,
                                    with_features=False)
@@ -479,7 +495,7 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
                 force=True,
             )
 
-        if (it + 1) % cfg.full_eval_every == 0 or last:
+        if n_eval_rows and ((it + 1) % cfg.full_eval_every == 0 or last):
             metrics_acc.reset()
             n_eval = min(cfg.eval_batches * cfg.batch_size, n_eval_rows)
             for lo in range(0, n_eval, cfg.batch_size):

@@ -341,18 +341,19 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
         # per-host contiguous blocks, sharded over 'data' — the loss means
         # come back as replicated scalars identical on every host, so
         # multi-host eval needs no separate reduction path
-        if cfg.do_eval and ((it + 1) % cfg.eval_every == 0 or last):
+        if cfg.do_eval and eval_x.shape[0] and (
+            (it + 1) % cfg.eval_every == 0 or last
+        ):
             losses = []
             n_eval_rows = eval_x.shape[0]
             n_batches = min(cfg.eval_batches,
                             max(1, n_eval_rows // cfg.batch_size))
             for eb in range(n_batches):
                 lo = eb * cfg.batch_size
-                # wrap small eval sets instead of shipping a one-off tail
-                # shape through the jit program
-                global_idx = np.minimum(
-                    np.arange(lo, lo + cfg.batch_size), n_eval_rows - 1
-                )
+                # wrap small eval sets MODULO the set instead of shipping a
+                # one-off tail shape through the jit program — repeats rows
+                # near-uniformly, so the mean stays unbiased
+                global_idx = np.arange(lo, lo + cfg.batch_size) % n_eval_rows
                 xe = eval_x[mesh_lib.host_block(global_idx, local_bs)]
                 xe = mesh_lib.shard_batch(xe, device_mesh, axis=0)
                 losses.append([float(v) for v in eval_fn(params, xe)])

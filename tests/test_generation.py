@@ -1,5 +1,6 @@
 """Tests for constrained beam search (models/generation.py) and eval metrics."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,12 +40,13 @@ def _batch(b=4, n_items=5, d=4, k=32, seed=1):
     )
 
 
-def test_generated_tuples_are_corpus_members():
+@pytest.mark.parametrize("n_candidates", [16, 32])  # 32 == K: exhaustive path
+def test_generated_tuples_are_corpus_members(n_candidates):
     params = retrieval.init(jax.random.PRNGKey(0), CFG)
     index = _index()
     out = generation.generate_next_sem_ids(
         params, CFG, index, _batch(), jax.random.PRNGKey(2),
-        k=8, n_candidates=16,
+        k=8, n_candidates=n_candidates,
     )
     assert out.sem_ids.shape == (4, 8, 4)
     assert out.log_probas.shape == (4, 8)
@@ -58,11 +60,13 @@ def test_generated_tuples_are_corpus_members():
             assert any((cached == row).all(axis=1)), row
 
 
-def test_beams_sorted_and_unique():
+@pytest.mark.parametrize("n_candidates", [16, 32])  # 32 == K: exhaustive path
+def test_beams_sorted_and_unique(n_candidates):
     params = retrieval.init(jax.random.PRNGKey(0), CFG)
     index = _index()
     out = generation.generate_next_sem_ids(
-        params, CFG, index, _batch(), jax.random.PRNGKey(3), k=8, n_candidates=16,
+        params, CFG, index, _batch(), jax.random.PRNGKey(3), k=8,
+        n_candidates=n_candidates,
     )
     lp = np.asarray(out.log_probas)
     assert (np.diff(lp, axis=-1) <= 1e-6).all(), "beams must be score-sorted"
@@ -142,15 +146,17 @@ def test_topk_accumulator_golden():
     assert acc.total == 0
 
 
-def test_beam_scores_match_teacher_forced_logprobs():
+@pytest.mark.parametrize("n_candidates", [16, 32])  # 32 == K: exhaustive path
+def test_beam_scores_match_teacher_forced_logprobs(n_candidates):
     """log_probas must equal the sum of teacher-forced per-position log-probs
-    for every valid beam — this locks the parent-gather bookkeeping."""
+    for every valid beam — this locks the parent-gather bookkeeping (and, at
+    n_candidates == K, the exhaustive branch's div/mod winner bookkeeping)."""
     params = retrieval.init(jax.random.PRNGKey(0), CFG)
     index = _index()
     batch = _batch(b=2)
     out = generation.generate_next_sem_ids(
         params, CFG, index, batch, jax.random.PRNGKey(11),
-        k=4, n_candidates=16, temperature=1.0,
+        k=4, n_candidates=n_candidates, temperature=1.0,
     )
     beams = np.asarray(out.sem_ids)      # (B, k, D)
     scores = np.asarray(out.log_probas)  # (B, k)
@@ -221,4 +227,67 @@ def test_cached_generation_matches_reference_path():
         params, CFG, cache, fut, tt, beams=k, n_rows=3 * k
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref_logits),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_decode_token_cached_matches_full_prefix():
+    """The single-token self-KV-cache path must produce the same logits as
+    forward_generate_cached's full-prefix reprocessing at every step,
+    including after a beam-parent cache reorder."""
+    params = retrieval.init(jax.random.PRNGKey(0), CFG)
+    batch = _batch(b=3)
+    k = 2
+    cache = retrieval.encode_for_generation(params, CFG, batch)
+
+    # BOS step
+    ref = retrieval.forward_generate_cached(
+        params, CFG, cache, None, None, beams=1, n_rows=3
+    )
+    got, self_kv = retrieval.decode_token_cached(
+        params, CFG, cache, None, None, 0, beams=1, n_rows=3
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # expand to beams and run two more token steps, reordering between them
+    self_kv = jax.tree.map(
+        lambda c: jnp.broadcast_to(
+            c[:, None], (3, k) + c.shape[1:]
+        ).reshape((3 * k,) + c.shape[1:]),
+        self_kv,
+    )
+    rng = np.random.RandomState(0)
+    tok0 = jnp.asarray(rng.randint(0, 8, (3 * k,)).astype(np.int32))
+    got, self_kv = retrieval.decode_token_cached(
+        params, CFG, cache, self_kv, tok0, 0, beams=k, n_rows=3 * k
+    )
+    fut = tok0[:, None]
+    tt = jnp.zeros((3 * k, 1), jnp.int32)
+    ref = retrieval.forward_generate_cached(
+        params, CFG, cache, fut, tt, beams=k, n_rows=3 * k
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # beam reorder: every row keeps parent 0's cache and history
+    parent = jnp.zeros((3, k), jnp.int32)
+    self_kv = jax.tree.map(
+        lambda c: jnp.take_along_axis(
+            c.reshape((3, k) + c.shape[1:]),
+            parent.reshape((3, k) + (1,) * (c.ndim - 1)),
+            axis=1,
+        ).reshape(c.shape),
+        self_kv,
+    )
+    fut0 = jnp.repeat(tok0.reshape(3, k)[:, :1], k, axis=1).reshape(3 * k)
+    tok1 = jnp.asarray(rng.randint(0, 8, (3 * k,)).astype(np.int32))
+    got, self_kv = retrieval.decode_token_cached(
+        params, CFG, cache, self_kv, tok1, 1, beams=k, n_rows=3 * k
+    )
+    fut = jnp.stack([fut0, tok1], axis=1)
+    tt = jnp.asarray(np.tile(np.arange(2, dtype=np.int32), (3 * k, 1)))
+    ref = retrieval.forward_generate_cached(
+        params, CFG, cache, fut, tt, beams=k, n_rows=3 * k
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
