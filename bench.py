@@ -46,6 +46,11 @@ PROFILES = {
     # stage 1: RQ-VAE tokenizer training (reference rqvae_amazon.gin shape:
     # bs 64, 768-dim inputs, 3x256 codebooks, embed 32)
     "rqvae": dict(batch_size=64, input_dim=768),
+    # the shipped Amazon config's estimator (rqvae_amazon.gin:24
+    # ROTATION_TRICK) — runs the fused Pallas training kernel
+    # (ops/quantize_pallas.rq_quantize_train)
+    "rqvae_rotation": dict(batch_size=64, input_dim=768,
+                           mode="ROTATION_TRICK"),
 }
 
 
@@ -62,6 +67,7 @@ def run_rqvae_profile(p) -> float:
     cfg = rqvae_lib.RqVaeConfig(
         input_dim=d, embed_dim=32, hidden_dims=(512, 256, 128),
         codebook_size=256, n_layers=3, n_cat_feats=0,
+        codebook_mode=p.get("mode", "GUMBEL_SOFTMAX"),
     )
     rng = np.random.RandomState(0)
     params = rqvae_lib.init(jax.random.PRNGKey(0), cfg)
@@ -167,7 +173,7 @@ def run_profile(name: str) -> float:
     p = PROFILES[name]
     if name.endswith("_generate"):
         return run_generate_profile(p)
-    if name == "rqvae":
+    if name.startswith("rqvae"):
         return run_rqvae_profile(p)
     n_hist, batch_size, n_items = p["n_hist"], p["batch_size"], p["n_items"]
     cfg = RetrievalConfig(
@@ -265,8 +271,8 @@ def main() -> None:
 
     if args.profile.endswith("_generate"):
         metric = f"beam_search_queries_per_s_{args.profile}_bs256"
-    elif args.profile == "rqvae":
-        metric = "rqvae_train_examples_per_s_bs64"
+    elif args.profile.startswith("rqvae"):
+        metric = f"{args.profile}_train_examples_per_s_bs64"
     else:
         metric = f"decoder_train_examples_per_s_{args.profile}_bs256"
     baseline_path = os.path.join(

@@ -29,9 +29,16 @@ def hashed_stub_encoder(dim: int = 768, seed: int = 0) -> EncodeFn:
     -> identical vectors, which preserves the semantics tests care about."""
 
     def encode(texts: List[str]) -> np.ndarray:
+        import hashlib
+
         out = np.empty((len(texts), dim), np.float32)
         for i, t in enumerate(texts):
-            h = (hash((seed, t)) & 0x7FFFFFFF)
+            # stable across processes/hosts (Python's str hash is
+            # PYTHONHASHSEED-randomized; multi-host artifact sharing needs
+            # byte-identical embeddings everywhere)
+            h = int.from_bytes(
+                hashlib.sha256(f"{seed}:{t}".encode()).digest()[:4], "little"
+            ) & 0x7FFFFFFF
             rng = np.random.RandomState(h)
             v = rng.randn(dim).astype(np.float32)
             out[i] = v / (np.linalg.norm(v) + 1e-12)

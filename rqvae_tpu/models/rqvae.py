@@ -108,6 +108,27 @@ def _level_kwargs(cfg: RqVaeConfig, level: int):
     )
 
 
+def _fused_train_quantize(params, cfg: RqVaeConfig, res: jax.Array) -> RqVaeOutput:
+    """Fused Pallas training path for the hard estimators (STE / rotation
+    trick): one kernel for the whole distance+argmin+gather residual loop,
+    estimator-exact gradients via custom VJP (ops/quantize_pallas.
+    rq_quantize_train). Values AND gradients parity-locked to the jnp loop in
+    tests/test_quantize_pallas.py."""
+    from rqvae_tpu.ops import quantize_pallas
+
+    cbs = effective_codebooks(params, cfg)
+    out = quantize_pallas.rq_quantize_train(
+        res, cbs, cfg.codebook_mode.name, cfg.commitment_weight
+    )
+    dt = res.dtype
+    return RqVaeOutput(
+        embeddings=out.embeddings.astype(dt),
+        residuals=out.residuals.astype(dt),
+        sem_ids=out.sem_ids,
+        quantize_loss=out.quantize_loss.astype(dt),
+    )
+
+
 def get_semantic_ids(
     params,
     cfg: RqVaeConfig,
@@ -119,6 +140,13 @@ def get_semantic_ids(
 ) -> RqVaeOutput:
     """Encode then quantize through n_layers levels (reference rqvae.py:114-138)."""
     res = encode(params, cfg, x)
+    if training and cfg.codebook_mode in (
+        QuantizeForwardMode.STE, QuantizeForwardMode.ROTATION_TRICK
+    ):
+        from rqvae_tpu.ops import dispatch
+
+        if dispatch.pallas_enabled():
+            return _fused_train_quantize(params, cfg, res)
     embs, residuals, sem_ids = [], [], []
     q_loss = jnp.zeros(res.shape[:-1], dtype=res.dtype)
     for level in range(cfg.n_layers):

@@ -241,7 +241,7 @@ def decode_with_kv(
     params,
     cfg: TransformerConfig,
     x: jax.Array,           # (B*beams, Nf, d_model)
-    kv,                     # cross_kv() output: [(B, H, Nc, Dh)] per block
+    kv,                     # cross_kv() output: [(B, Nc, H, Dh)] per block
     context_mask: jax.Array,  # (B, Nc) bool
     *,
     beams: int = 1,

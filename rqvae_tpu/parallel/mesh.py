@@ -30,17 +30,32 @@ MODEL_AXIS = "model"
 
 def maybe_init_distributed() -> int:
     """Multi-host bring-up: call jax.distributed.initialize() when a
-    coordinator is configured (JAX_COORDINATOR_ADDRESS / Cloud TPU metadata),
-    idempotently. Returns jax.process_count(). Single-host runs are a no-op —
-    the same train loops serve 1 chip and N hosts (SURVEY.md §2 parallelism
-    table: DP via mesh sharding, not a separate code path)."""
+    coordinator is configured (JAX_COORDINATOR_ADDRESS) or Cloud TPU pod env
+    indicates multiple workers, idempotently. Returns jax.process_count().
+    Single-host runs are a no-op — the same train loops serve 1 chip and N
+    hosts (SURVEY.md §2 parallelism table: DP via mesh sharding, not a
+    separate code path)."""
     import os
+    import sys
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+    pod_env = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi_worker_pod = len([h for h in pod_env.split(",") if h]) > 1
+    if jax.process_count() == 1 and (
+        os.environ.get("JAX_COORDINATOR_ADDRESS") or multi_worker_pod
+    ):
         try:
             jax.distributed.initialize()
         except RuntimeError:
             pass  # already initialized by the launcher
+    if multi_worker_pod and jax.process_count() == 1:
+        print(
+            "WARNING: TPU pod topology detected (TPU_WORKER_HOSTNAMES has "
+            "multiple workers) but jax.process_count() == 1 — each host is "
+            "running an INDEPENDENT single-process job. Set "
+            "JAX_COORDINATOR_ADDRESS or launch via a pod runtime that "
+            "configures jax.distributed.",
+            file=sys.stderr,
+        )
     return jax.process_count()
 
 
@@ -68,13 +83,6 @@ def make_mesh(
     assert int(np.prod(shape)) == n, f"mesh shape {shape} != {n} devices"
     arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
-
-
-def local_slice(idx: np.ndarray) -> np.ndarray:
-    """Deterministic disjoint per-process strided slice of a global index set
-    (multi-host eval: every host computes on its own shard, jit over the
-    assembled global array returns identical reductions on all hosts)."""
-    return idx[jax.process_index():: jax.process_count()]
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -157,7 +165,7 @@ def _retrieval_tp_spec(path: str, x) -> P:
         return P()
     if "sem_emb" in path:
         return P(MODEL_AXIS, None)
-    if any(k in path for k in ("wqkv", "wkv", "wq'", "in_proj")):
+    if any(k in path for k in ("wqkv", "wkv", "wq", "in_proj")):
         return P(None, MODEL_AXIS)
     if "proj" in path and "in_proj" not in path:
         return P(MODEL_AXIS, None)
@@ -168,22 +176,82 @@ def _retrieval_tp_spec(path: str, x) -> P:
     return P()
 
 
-def tp_param_shardings(params, mesh: Mesh):
-    """Tensor-parallel shardings for the retrieval model param tree."""
-    paths_and_leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+def _rqvae_tp_spec(path: str, x) -> P:
+    """Specs for the RQ-VAE param tree (BASELINE.json stretch config:
+    codebook tables sharded over 'model' with the ID lookup's distance
+    matmul partitioned — GSPMD inserts the cross-shard argmin reduction).
 
-    def path_str(kp):
-        parts = []
-        for k in kp:
-            if hasattr(k, "key"):
-                parts.append(str(k.key))
-            elif hasattr(k, "idx"):
+    codebook (K, D): rows over 'model' — each shard owns K/m codewords and
+    computes its slice of the (B, K) distance matrix. sim_proj: columns.
+    Encoder/decoder MLP stacks: Megatron alternation (even layers columns,
+    odd layers rows -> psum), keeping activations sharded between pairs.
+    """
+    if x.ndim < 2:
+        return P()
+    if "codebook" in path:
+        return P(MODEL_AXIS, None)
+    if "sim_proj" in path:
+        return P(None, MODEL_AXIS)
+    if "encoder[" in path or "decoder[" in path:
+        idx = int(path.rsplit("[", 1)[-1].rstrip("]"))
+        return P(None, MODEL_AXIS) if idx % 2 == 0 else P(MODEL_AXIS, None)
+    return P()
+
+
+def _path_str(kp) -> str:
+    parts = []
+    for k in kp:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            if parts:
                 parts[-1] = parts[-1] + f"[{k.idx}]"
-        return "/".join(parts)
+            else:
+                parts.append(f"[{k.idx}]")
+    return "/".join(parts)
 
+
+def _shardings_from_specs(params, mesh: Mesh, spec_fn):
+    paths_and_leaves = jax.tree_util.tree_flatten_with_path(params)[0]
     specs = [
-        NamedSharding(mesh, _retrieval_tp_spec(path_str(kp), leaf))
+        NamedSharding(mesh, spec_fn(_path_str(kp), leaf))
         for kp, leaf in paths_and_leaves
     ]
     treedef = jax.tree_util.tree_structure(params)
     return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def tp_param_shardings(params, mesh: Mesh):
+    """Tensor-parallel shardings for the retrieval model param tree."""
+    return _shardings_from_specs(params, mesh, _retrieval_tp_spec)
+
+
+def rqvae_tp_param_shardings(params, mesh: Mesh):
+    """Tensor-parallel shardings for the RQ-VAE param tree (sharded
+    codebooks + Megatron MLP alternation)."""
+    return _shardings_from_specs(params, mesh, _rqvae_tp_spec)
+
+
+def opt_state_shardings(opt_state, params, param_shardings, mesh: Mesh):
+    """Shardings for an optax state: any subtree mirroring the params tree
+    (Adam's mu/nu moments) gets the PARAMS shardings — so TP moments shard
+    with their TP params instead of being replicated — and everything else
+    (step counts, empty states) is replicated."""
+    pdef = jax.tree_util.tree_structure(params)
+    rep = replicated(mesh)
+
+    def is_params_tree(node):
+        try:
+            return jax.tree_util.tree_structure(node) == pdef
+        except Exception:  # pragma: no cover - defensive
+            return False
+
+    return jax.tree.map(
+        lambda node: (
+            param_shardings
+            if is_params_tree(node)
+            else jax.tree.map(lambda _: rep, node)
+        ),
+        opt_state,
+        is_leaf=is_params_tree,
+    )

@@ -46,9 +46,10 @@ class CorpusIndex:
     """Device-resident corpus semantic-ID table + sorted prefix keys.
 
     ``bases`` are the per-dim packing radices: codebook_size for the ID
-    levels, and a power of two >= max_dedup+1 for the dedup column (the dedup
-    count is unbounded by codebook_size for an untrained/collapsed tokenizer,
-    so packing with base=codebook_size would alias distinct tuples).
+    levels, and ``max(codebook_size, max_dedup + 2)`` for the dedup column
+    (build_index; the dedup count is unbounded by codebook_size for an
+    untrained/collapsed tokenizer, so packing with base=codebook_size would
+    alias distinct tuples).
 
     ``sorted_keys`` rows hold the DISTINCT packed prefixes per length, padded
     to n_items with a sentinel (dtype max); ``n_distinct[l]`` is the real

@@ -332,7 +332,8 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
     )
     params = jax.device_put(params, shardings)
     opt_state = jax.device_put(
-        opt_state, mesh_lib.dp_param_shardings(opt_state, device_mesh)
+        opt_state,
+        mesh_lib.opt_state_shardings(opt_state, params, shardings, device_mesh),
     )
     index = mesh_lib.replicate_host_array(index, device_mesh)
 

@@ -97,6 +97,9 @@ class RqVaeTrainConfig:
     kmeans_prime_items: int = 20000
     eval_batches: int = 50
     mesh_shape: Optional[Tuple[int, ...]] = None
+    # shard codebooks + enc/dec MLPs over the mesh 'model' axis
+    # (mesh.rqvae_tp_param_shardings); requires mesh_shape with model > 1
+    tensor_parallel: bool = False
     synthetic_n_items: int = 2048
     synthetic_n_users: int = 2048
     profile_dir: Optional[str] = None    # capture a jax.profiler trace
@@ -203,7 +206,10 @@ def make_eval_step(model_cfg, gumbel_t, compute_dtype):
 
 def id_diversity_metrics(params, model_cfg, corpus_x) -> dict:
     """rqvae_entropy / codebook_usage_i / max_id_duplicates
-    (reference train_rqvae.py:223-239)."""
+    (reference train_rqvae.py:223-239). ``params`` may be host numpy (the
+    process-0-only path hands over a device_get copy); re-put on the local
+    default device so the traced tokenization closes over device arrays."""
+    params = jax.tree.map(jnp.asarray, params)
     index = semids.precompute_corpus_ids(params, model_cfg, corpus_x)
     cached = np.asarray(index.cached_ids)
     n = cached.shape[0]
@@ -269,11 +275,18 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
         start_iter = meta["step"] + 1
         print(f"---Loaded RQVAE Iter {meta['step']}---", file=sys.stderr)
 
-    # replicate state over the mesh; shard batches over 'data'
-    rep = mesh_lib.dp_param_shardings(params, device_mesh)
+    # param shardings over the mesh (replicated for pure DP; codebooks/MLPs
+    # over 'model' under TP); batches shard over 'data' either way, and the
+    # Adam moments shard exactly like their params
+    rep = (
+        mesh_lib.rqvae_tp_param_shardings(params, device_mesh)
+        if cfg.tensor_parallel
+        else mesh_lib.dp_param_shardings(params, device_mesh)
+    )
     params = jax.device_put(params, rep)
     opt_state = jax.device_put(
-        opt_state, mesh_lib.dp_param_shardings(opt_state, device_mesh)
+        opt_state,
+        mesh_lib.opt_state_shardings(opt_state, params, rep, device_mesh),
     )
 
     if start_iter == 0 and cfg.use_kmeans_init:
@@ -358,9 +371,17 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
                 xe = mesh_lib.shard_batch(xe, device_mesh, axis=0)
                 losses.append([float(v) for v in eval_fn(params, xe)])
             ev = np.asarray(losses).mean(axis=0)
-            div = id_diversity_metrics(
-                params, model_cfg,
-                mesh_lib.replicate_host_array(index_x, device_mesh),
+            # corpus re-tokenization on process 0 only (reference
+            # train_rqvae.py:223-239 runs it on rank 0): params are
+            # replicated, so host 0 pulls its local copy and runs a
+            # process-local jit — no collective participation needed, and
+            # N-1 hosts skip the corpus-sized redundant work
+            div = (
+                id_diversity_metrics(
+                    jax.device_get(params), model_cfg, jnp.asarray(index_x)
+                )
+                if jax.process_index() == 0
+                else {}
             )
             logger.log(
                 it + 1,

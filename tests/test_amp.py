@@ -1,4 +1,5 @@
 """Mixed precision: bf16 compute keeps fp32 master params and finite losses."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +13,8 @@ from rqvae_tpu.train import optim
 from rqvae_tpu.train.train_decoder import make_train_step as decoder_step
 from rqvae_tpu.train.train_rqvae import make_train_step as rqvae_step
 from rqvae_tpu.utils import amp
+
+pytestmark = pytest.mark.slow  # heavy end-to-end/train-loop suite (run: pytest -m slow)
 
 
 def test_cast_floating_leaves_ints_alone():

@@ -1,10 +1,13 @@
 """Auto-resume: a second train() run picks up the latest checkpoint in
 save_dir_root without an explicit pretrained path (failure recovery)."""
+import pytest
 import numpy as np
 
 from rqvae_tpu.train import train_rqvae
 from rqvae_tpu.utils.config import from_dict
 from rqvae_tpu.utils.logging import MetricsLogger
+
+pytestmark = pytest.mark.slow  # heavy end-to-end/train-loop suite (run: pytest -m slow)
 
 
 class CaptureLogger(MetricsLogger):

@@ -41,6 +41,7 @@ def _batch(b=4, n_items=5, d=4, k=32, seed=1):
 
 
 @pytest.mark.parametrize("n_candidates", [16, 32])  # 32 == K: exhaustive path
+@pytest.mark.slow
 def test_generated_tuples_are_corpus_members(n_candidates):
     params = retrieval.init(jax.random.PRNGKey(0), CFG)
     index = _index()
@@ -91,6 +92,7 @@ def test_generation_is_jittable_and_deterministic():
     np.testing.assert_array_equal(np.asarray(o1.sem_ids), np.asarray(o2.sem_ids))
 
 
+@pytest.mark.slow
 def test_trained_model_recovers_target():
     """Overfit on a single target tuple -> the top beam must find it."""
     import optax
@@ -147,6 +149,7 @@ def test_topk_accumulator_golden():
 
 
 @pytest.mark.parametrize("n_candidates", [16, 32])  # 32 == K: exhaustive path
+@pytest.mark.slow
 def test_beam_scores_match_teacher_forced_logprobs(n_candidates):
     """log_probas must equal the sum of teacher-forced per-position log-probs
     for every valid beam — this locks the parent-gather bookkeeping (and, at

@@ -1,5 +1,6 @@
 """Tests for the retrieval model (models/retrieval.py)."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -131,6 +132,7 @@ def test_training_reduces_loss():
     assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
 
 
+@pytest.mark.slow
 def test_gradient_reaches_sem_emb():
     """Mirrors the reference's gradient-presence assert (train_decoder.py:197)."""
     params = retrieval.init(jax.random.PRNGKey(0), CFG)

@@ -5,6 +5,7 @@ modules/rqvae.py:140-165), kmeans priming order, and that a few AdamW steps
 reduce the loss on synthetic data.
 """
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -95,6 +96,7 @@ def test_kmeans_prime_improves_quantization():
     assert float(after.rqvae_loss) < float(before.rqvae_loss)
 
 
+@pytest.mark.slow
 def test_training_reduces_loss():
     # rotation-trick estimator: deterministic forward -> crisp learning signal
     cfg = rqvae.RqVaeConfig(

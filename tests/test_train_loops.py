@@ -13,6 +13,8 @@ from rqvae_tpu.train import checkpoint as ckpt
 from rqvae_tpu.train import train_decoder, train_rqvae
 from rqvae_tpu.utils.logging import MetricsLogger
 
+pytestmark = pytest.mark.slow  # heavy end-to-end/train-loop suite (run: pytest -m slow)
+
 
 class CaptureLogger(MetricsLogger):
     def __init__(self):
