@@ -43,6 +43,10 @@ PROFILES = {
     # serving: constrained beam search queries/s (k=32 beams, exhaustive
     # candidates — a superset of the reference's 200-sample protocol)
     "amazon_generate": dict(n_hist=20, batch_size=256, n_items=12101),
+    # protocol-parity serving row: EXACTLY the reference's 200 sampled
+    # candidates per beam (reference modules/model.py:163-165)
+    "amazon_generate_sampled": dict(n_hist=20, batch_size=256,
+                                    n_items=12101, n_candidates=200),
     # stage 1: RQ-VAE tokenizer training (reference rqvae_amazon.gin shape:
     # bs 64, 768-dim inputs, 3x256 codebooks, embed 32)
     "rqvae": dict(batch_size=64, input_dim=768),
@@ -134,9 +138,10 @@ def run_generate_profile(p) -> float:
     # softmax/score math inside generate_next_sem_ids).
     from rqvae_tpu.utils import amp
     params = amp.cast_floating(params, jnp.bfloat16)
+    n_candidates = p.get("n_candidates", 256)
     gen = jax.jit(
         lambda pp, bt, r: generation.generate_next_sem_ids(
-            pp, cfg, index, bt, r, k=32, n_candidates=256
+            pp, cfg, index, bt, r, k=32, n_candidates=n_candidates
         )
     )
     key = jax.random.key(1, impl="rbg")
@@ -171,7 +176,7 @@ def run_profile(name: str) -> float:
     )
 
     p = PROFILES[name]
-    if name.endswith("_generate"):
+    if "_generate" in name:
         return run_generate_profile(p)
     if name.startswith("rqvae"):
         return run_rqvae_profile(p)
@@ -269,7 +274,7 @@ def main() -> None:
     args = ap.parse_args()
     examples_per_s = run_profile(args.profile)
 
-    if args.profile.endswith("_generate"):
+    if "_generate" in args.profile:
         metric = f"beam_search_queries_per_s_{args.profile}_bs256"
     elif args.profile.startswith("rqvae"):
         metric = f"{args.profile}_train_examples_per_s_bs64"

@@ -309,11 +309,13 @@ def train_decoder(args, items, seqs_train, seqs_eval, rq_path, log):
 
 
 def evaluate_decoder(args, model, tokenizer, items, seqs_eval, log, it):
+    n_eval = min(args.eval_users, len(seqs_eval))
+    if n_eval == 0:
+        return {}
     model.eval()
     model.enable_generation = True
     acc = TopKAccumulator(ks=[1, 5, 10])
     ndcg = {f"ndcg@{k}": 0.0 for k in (1, 5, 10)}
-    n_eval = min(args.eval_users, len(seqs_eval))
     t0 = time.monotonic()
     for lo in range(0, n_eval, args.decoder_bs):
         idx = np.arange(lo, min(lo + args.decoder_bs, n_eval))
@@ -338,7 +340,10 @@ def main(argv=None):
     p.add_argument("--split", default="beauty")
     p.add_argument("--out", default="out/ref")
     p.add_argument("--stage", default="all",
-                   choices=["rqvae", "decoder", "all"])
+                   choices=["rqvae", "decoder", "all", "eval"])
+    p.add_argument("--decoder-path", default=None,
+                   help="saved decoder_ref.pt for --stage eval")
+    p.add_argument("--eval-split", default="eval", choices=["eval", "test"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--codebook-size", type=int, default=256)
     p.add_argument("--rqvae-iters", type=int, default=40000)
@@ -368,13 +373,37 @@ def main(argv=None):
     d = os.path.join(args.root, f"processed_{args.split}")
     items = load_item_dataset(os.path.join(d, "items.npz"))
     seqs_train = load_seq_dataset(os.path.join(d, "seqs_train.npz"), 20)
-    seqs_eval = load_seq_dataset(os.path.join(d, "seqs_eval.npz"), 20)
+    seqs_eval = load_seq_dataset(
+        os.path.join(d, f"seqs_{args.eval_split}.npz"), 20
+    )
 
     rq_path = args.rqvae_path or os.path.join(args.out, "rqvae_ref.pt")
     if args.stage in ("rqvae", "all"):
         rq_path = train_rqvae(args, items, log)
     if args.stage in ("decoder", "all"):
         train_decoder(args, items, seqs_train, seqs_eval, rq_path, log)
+    if args.stage == "eval":
+        # eval-only: rebuild tokenizer + model, load the saved decoder
+        tokenizer = SemanticIdTokenizer(
+            input_dim=768, hidden_dims=[512, 256, 128], output_dim=32,
+            codebook_size=args.codebook_size, n_layers=3, n_cat_feats=0,
+            rqvae_weights_path=rq_path,
+        )
+        tokenizer.precompute_corpus_ids(_CorpusData(items.x))
+        model = EncoderDecoderRetrievalModel(
+            embedding_dim=args.decoder_embed_dim,
+            attn_dim=args.attn_dim, dropout=0.3, num_heads=8,
+            n_layers=args.attn_layers, num_embeddings=args.codebook_size,
+            sem_id_dim=tokenizer.sem_ids_dim,
+            inference_verifier_fn=_FastVerifier(tokenizer.cached_ids),
+            max_pos=seqs_train.max_seq_len * tokenizer.sem_ids_dim,
+            jagged_mode=False,
+        )
+        dec = args.decoder_path or os.path.join(args.out, "decoder_ref.pt")
+        model.load_state_dict(torch.load(dec, weights_only=False)["model"])
+        log({"stage": "eval_only", "split": args.eval_split,
+             "decoder": dec})
+        evaluate_decoder(args, model, tokenizer, items, seqs_eval, log, -1)
 
 
 if __name__ == "__main__":

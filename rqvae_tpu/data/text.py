@@ -47,6 +47,46 @@ def hashed_stub_encoder(dim: int = 768, seed: int = 0) -> EncodeFn:
     return encode
 
 
+def make_t5_pipeline_encoder(
+    tok, enc, dense_w=None, *, batch_size: int = 32, device: str = "cpu",
+    max_length: int = 256,
+) -> EncodeFn:
+    """The sentence-t5 pipeline from provided components: T5 encoder ->
+    attention-masked mean pooling -> optional 2_Dense linear -> L2 norm
+    (sentence-transformers' Transformer+Pooling+Dense+Normalize stack,
+    reference data/preprocessing.py:40-44 runs the packaged equivalent).
+
+    Split out from :func:`sentence_t5_encoder` so the pipeline math is
+    testable offline with a locally-constructed tiny T5 — tests assert
+    batching/padding invariance and agreement with an independent
+    formulation of the recipe (tests/test_text_encoder.py).
+    """
+    import torch
+
+    @torch.no_grad()
+    def encode(texts: List[str]) -> np.ndarray:
+        chunks = []
+        for i in range(0, len(texts), batch_size):
+            batch = tok(
+                texts[i : i + batch_size],
+                padding=True,
+                truncation=True,
+                max_length=max_length,
+                return_tensors="pt",
+            )
+            batch = {k: v.to(device) for k, v in dict(batch).items()}
+            h = enc(**batch).last_hidden_state          # (B, T, D)
+            m = batch["attention_mask"][..., None].to(h.dtype)
+            pooled = (h * m).sum(1) / m.sum(1).clamp(min=1e-9)
+            if dense_w is not None:
+                pooled = pooled @ dense_w.T
+            pooled = torch.nn.functional.normalize(pooled, dim=-1)
+            chunks.append(pooled.float().cpu().numpy())
+        return np.concatenate(chunks, axis=0)
+
+    return encode
+
+
 def sentence_t5_encoder(
     model_name: str = "sentence-transformers/sentence-t5-xl",
     batch_size: int = 32,
@@ -73,24 +113,6 @@ def sentence_t5_encoder(
     except Exception:
         pass
 
-    @torch.no_grad()
-    def encode(texts: List[str]) -> np.ndarray:
-        chunks = []
-        for i in range(0, len(texts), batch_size):
-            batch = tok(
-                texts[i : i + batch_size],
-                padding=True,
-                truncation=True,
-                max_length=256,
-                return_tensors="pt",
-            ).to(dev)
-            h = enc(**batch).last_hidden_state          # (B, T, D)
-            m = batch["attention_mask"][..., None].to(h.dtype)
-            pooled = (h * m).sum(1) / m.sum(1).clamp(min=1e-9)
-            if dense_w is not None:
-                pooled = pooled @ dense_w.T
-            pooled = torch.nn.functional.normalize(pooled, dim=-1)
-            chunks.append(pooled.float().cpu().numpy())
-        return np.concatenate(chunks, axis=0)
-
-    return encode
+    return make_t5_pipeline_encoder(
+        tok, enc, dense_w, batch_size=batch_size, device=dev
+    )

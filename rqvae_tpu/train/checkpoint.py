@@ -34,7 +34,8 @@ _STEP_RE = re.compile(r"^step_(\d+)$")
 
 
 def _step_dir(root: str, step: int) -> str:
-    return os.path.join(root, f"step_{step}")
+    # orbax rejects relative paths; anchor to cwd so "out/rqvae/" configs work
+    return os.path.abspath(os.path.join(root, f"step_{step}"))
 
 
 def latest_step(root: str) -> Optional[int]:
@@ -50,20 +51,28 @@ def latest_step(root: str) -> Optional[int]:
 
 
 def save(root: str, step: int, state: Any, meta: Optional[dict] = None) -> str:
-    """state: any pytree (e.g. {'params': ..., 'opt_state': ...})."""
+    """state: any pytree (e.g. {'params': ..., 'opt_state': ...}).
+
+    Multi-process: EVERY process must call this (orbax synchronizes all
+    processes around the write — a process-0-only call deadlocks at its
+    global barrier; caught by tests/test_multiprocess.py). Only process 0
+    writes the meta/DONE sidecars and the npz fallback."""
     path = _step_dir(root, step)
-    os.makedirs(path, exist_ok=True)
+    primary = jax.process_index() == 0
+    if primary:
+        os.makedirs(path, exist_ok=True)
     state = jax.device_get(state)
     if _HAS_ORBAX:
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(os.path.join(path, "state"), state, force=True)
-    else:  # pragma: no cover
+    elif primary:
         flat, treedef = jax.tree_util.tree_flatten(state)
         np.savez(os.path.join(path, "state.npz"), *flat)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump({"step": step, **(meta or {})}, f)
-    with open(os.path.join(path, "DONE"), "w") as f:
-        f.write("ok")
+    if primary:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"step": step, **(meta or {})}, f)
+        with open(os.path.join(path, "DONE"), "w") as f:
+            f.write("ok")
     return path
 
 
@@ -93,9 +102,11 @@ def restore(root: str, step: Optional[int] = None,
             )
         else:
             state = ckptr.restore(os.path.join(path, "state"))
-    else:  # pragma: no cover
+    else:
         z = np.load(os.path.join(path, "state.npz"), allow_pickle=False)
-        flat = [z[k] for k in z.files]
+        # positional savez names are arr_<i>; z.files order is unspecified,
+        # so index explicitly to preserve the flatten order
+        flat = [z[f"arr_{i}"] for i in range(len(z.files))]
         _, treedef = jax.tree_util.tree_flatten(target)
         state = jax.tree_util.tree_unflatten(treedef, flat)
     with open(os.path.join(path, "meta.json")) as f:

@@ -268,6 +268,62 @@ def make_train_step(model_cfg, opt, index, accum, compute_dtype, sem_dim):
     return step
 
 
+def make_generative_eval_fns(model_cfg, index, cfg: DecoderTrainConfig, ks):
+    """(generate_fn, hit_counts_fn) — the jitted pair driving full eval.
+    Created once and reused so repeated evals don't retrace."""
+
+    @jax.jit
+    def generate_fn(p, batch, r):
+        tok = semids.tokenize_sequences(index, batch)
+        gen = generation.generate_next_sem_ids(
+            p, model_cfg, index, tok._replace(
+                sem_ids_fut=None, token_type_ids_fut=None
+            ), r,
+            k=cfg.generation_top_k,
+            n_candidates=cfg.generation_candidates,
+            temperature=cfg.generation_temperature,
+        )
+        return gen, tok.sem_ids_fut
+
+    @jax.jit
+    def hit_counts_fn(actual, top_k, valid):
+        counts = batch_hit_counts(actual, top_k, ks, valid=valid)
+        return counts, jnp.sum(valid)
+
+    return generate_fn, hit_counts_fn
+
+
+def run_generative_eval(
+    params, model_cfg, index, seqs, items, cfg: DecoderTrainConfig,
+    device_mesh, rng, *, n_eval: int, eval_fns=None,
+) -> dict:
+    """Full constrained-beam-search eval over the first n_eval rows of
+    ``seqs`` (reference train_decoder.py:223-245 protocol): batches padded to
+    a fixed shape (the beam program is shape-specialized), padding rows
+    masked out of the counts under jit, metrics reduced host-side."""
+    local_bs = mesh_lib.process_local_batch_size(cfg.batch_size)
+    metrics_acc = TopKAccumulator(ks=(1, 5, 10))
+    generate_fn, hit_counts_fn = eval_fns or make_generative_eval_fns(
+        model_cfg, index, cfg, metrics_acc.ks
+    )
+    n_eval = min(n_eval, len(seqs))
+    for lo in range(0, n_eval, cfg.batch_size):
+        global_idx = np.arange(lo, lo + cfg.batch_size)
+        valid = global_idx < min(lo + cfg.batch_size, n_eval)
+        global_idx = np.minimum(global_idx, n_eval - 1)
+        idx = mesh_lib.host_block(global_idx, local_bs)
+        b = make_seq_batch(seqs.batch_at(idx), items.x, with_features=False)
+        b_dev = mesh_lib.shard_batch(b, device_mesh, axis=0)
+        valid_dev = mesh_lib.shard_batch(
+            mesh_lib.host_block(valid, local_bs), device_mesh, axis=0
+        )
+        rng, gen_key = jax.random.split(rng)
+        gen, actual = generate_fn(params, b_dev, gen_key)
+        counts, n_rows = hit_counts_fn(actual, gen.sem_ids, valid_dev)
+        metrics_acc.accumulate_counts(jax.device_get(counts), int(n_rows))
+    return metrics_acc.reduce()
+
+
 def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
     logger = logger or MetricsLogger(every=cfg.log_every)
     compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
@@ -369,25 +425,7 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
         out = retrieval.forward(p, model_cfg, tok, training=False)
         return out.loss, out.loss_d
 
-    @jax.jit
-    def hit_counts_fn(actual, top_k, valid):
-        counts = batch_hit_counts(
-            actual, top_k, metrics_acc.ks, valid=valid
-        )
-        return counts, jnp.sum(valid)
-
-    @jax.jit
-    def generate_fn(p, batch, r):
-        tok = semids.tokenize_sequences(index, batch)
-        gen = generation.generate_next_sem_ids(
-            p, model_cfg, index, tok._replace(
-                sem_ids_fut=None, token_type_ids_fut=None
-            ), r,
-            k=cfg.generation_top_k,
-            n_candidates=cfg.generation_candidates,
-            temperature=cfg.generation_temperature,
-        )
-        return gen, tok.sem_ids_fut
+    eval_fns = make_generative_eval_fns(model_cfg, index, cfg, (1, 5, 10))
 
     def sample_device_batch(host_rng):
         """(sharded global SeqBatch, host-side seq mask for logging)."""
@@ -409,7 +447,6 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
 
     # per-process stream: each host samples ITS slice of the global batch
     host_rng = np.random.default_rng(cfg.seed + jax.process_index())
-    metrics_acc = TopKAccumulator(ks=(1, 5, 10))
     profiler = profiling.StepProfiler(
         cfg.profile_dir, cfg.profile_start, cfg.profile_steps
     )
@@ -497,34 +534,21 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
             )
 
         if n_eval_rows and ((it + 1) % cfg.full_eval_every == 0 or last):
-            metrics_acc.reset()
-            n_eval = min(cfg.eval_batches * cfg.batch_size, n_eval_rows)
-            for lo in range(0, n_eval, cfg.batch_size):
-                # pad the tail to a full batch: the 4-step beam-search
-                # program is shape-specialized, and a one-off tail shape
-                # would recompile it (~30s) for a few rows; padding rows are
-                # masked out of the counts under jit
-                global_idx = np.arange(lo, lo + cfg.batch_size)
-                valid = global_idx < min(lo + cfg.batch_size, n_eval)
-                global_idx = np.minimum(global_idx, n_eval - 1)
-                idx = mesh_lib.host_block(global_idx, local_bs)
-                b = make_seq_batch(bundle.eval_seqs.batch_at(idx), bundle.items.x,
-                                   with_features=False)
-                b_dev = mesh_lib.shard_batch(b, device_mesh, axis=0)
-                valid_dev = mesh_lib.shard_batch(
-                    mesh_lib.host_block(valid, local_bs), device_mesh, axis=0
-                )
-                rng, gen_key = jax.random.split(rng)
-                gen, actual = generate_fn(params, b_dev, gen_key)
-                counts, n_rows = hit_counts_fn(actual, gen.sem_ids, valid_dev)
-                metrics_acc.accumulate_counts(
-                    jax.device_get(counts), int(n_rows)
-                )
-            logger.log(it + 1, metrics_acc.reduce(), force=True)
+            rng, eval_key = jax.random.split(rng)
+            logger.log(
+                it + 1,
+                run_generative_eval(
+                    params, model_cfg, index, bundle.eval_seqs, bundle.items,
+                    cfg, device_mesh, eval_key,
+                    n_eval=min(cfg.eval_batches * cfg.batch_size, n_eval_rows),
+                    eval_fns=eval_fns,
+                ),
+                force=True,
+            )
 
-        if jax.process_index() == 0 and (
-            (it + 1) % cfg.save_model_every == 0 or last
-        ):
+        # every process calls save (orbax synchronizes; process 0 writes —
+        # see checkpoint.save)
+        if (it + 1) % cfg.save_model_every == 0 or last:
             ckpt_lib.save(
                 cfg.save_dir_root,
                 it,

@@ -394,9 +394,9 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
                 force=True,
             )
 
-        if jax.process_index() == 0 and (
-            (it + 1) % cfg.save_model_every == 0 or last
-        ):
+        # every process calls save (orbax synchronizes; process 0 writes —
+        # see checkpoint.save)
+        if (it + 1) % cfg.save_model_every == 0 or last:
             ckpt_lib.save(
                 cfg.save_dir_root,
                 it,

@@ -237,3 +237,22 @@ def test_length_bucketed_grads_match_flat_step():
         ),
         acc, flat_grads,
     )
+
+
+def test_run_eval_cli_on_test_split(trained_rqvae, tmp_path, capsys):
+    """Standalone eval entry point (evaluate/run_eval.py): loads a decoder
+    checkpoint and runs the full generative eval on the TEST split — the
+    reference builds test sequences (data/amazon.py:76-78) but never
+    evaluates them; this completes the protocol."""
+    from rqvae_tpu.evaluate import run_eval
+
+    src, _, _ = trained_rqvae
+    cfg = _decoder_cfg(tmp_path, pretrained_rqvae_path=str(src / "rqvae"),
+                       iterations=10, full_eval_every=1000)
+    train_decoder.train(cfg, logger=CaptureLogger())
+
+    metrics = run_eval.evaluate_checkpoint(cfg, split="test", max_users=24)
+    assert metrics["split"] == "test"
+    assert 0 < metrics["n_users"] <= 24
+    assert "h@10_slice_:4" in metrics and "ndcg@10" in metrics
+    assert 0.0 <= metrics["h@10_slice_:4"] <= 1.0
