@@ -108,6 +108,11 @@ def _level_kwargs(cfg: RqVaeConfig, level: int):
     )
 
 
+# codebook_size * embed_dim at which the fused Pallas training kernel beats
+# XLA's fused jnp path (see get_semantic_ids for the measurements)
+FUSED_TRAIN_MIN_CODEBOOK_VOLUME = 65536
+
+
 def _fused_train_quantize(params, cfg: RqVaeConfig, res: jax.Array) -> RqVaeOutput:
     """Fused Pallas training path for the hard estimators (STE / rotation
     trick): one kernel for the whole distance+argmin+gather residual loop,
@@ -145,7 +150,16 @@ def get_semantic_ids(
     ):
         from rqvae_tpu.ops import dispatch
 
-        if dispatch.pallas_enabled():
+        # Measured dispatch (one v5e, device-resident loop): at the shipped
+        # Amazon shape (3x256x32 codebooks) XLA's fused jnp path wins
+        # (0.216 vs 0.263 ms/step — kernel call overhead dominates tiny
+        # programs); at the BASELINE stretch shape (4x2048x64, bs 1024) the
+        # Pallas kernel wins 1.54x (0.462 vs 0.711 ms/step) by keeping the
+        # (B, K) distance matrices out of HBM. Route on codebook volume.
+        big_codebooks = (
+            cfg.codebook_size * cfg.embed_dim >= FUSED_TRAIN_MIN_CODEBOOK_VOLUME
+        )
+        if dispatch.pallas_enabled() and big_codebooks:
             return _fused_train_quantize(params, cfg, res)
     embs, residuals, sem_ids = [], [], []
     q_loss = jnp.zeros(res.shape[:-1], dtype=res.dtype)

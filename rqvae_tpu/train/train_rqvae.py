@@ -96,6 +96,13 @@ class RqVaeTrainConfig:
     gumbel_anneal_step_size: int = 1000
     kmeans_prime_items: int = 20000
     eval_batches: int = 50
+    # Device-resident data loop: keep the whole item corpus in HBM, sample
+    # batch indices ON DEVICE, and run this many optimizer steps per host
+    # dispatch (lax.scan). Removes ALL per-step host work — the stage-1
+    # model is tiny (~5 ms/step is mostly Python dispatch on a busy host;
+    # the corpus is 12k-84k x 768 floats = 37-258 MB, trivially HBM-resident).
+    # 1 = the classic host-fed loop (host numpy sampling, one step/dispatch).
+    steps_per_call: int = 8
     mesh_shape: Optional[Tuple[int, ...]] = None
     # shard codebooks + enc/dec MLPs over the mesh 'model' axis
     # (mesh.rqvae_tp_param_shardings); requires mesh_shape with model > 1
@@ -190,6 +197,39 @@ def make_train_step(model_cfg, opt, accum, compute_dtype):
         return params, opt_state, metrics
 
     return step
+
+
+def make_device_chunk(model_cfg, opt, accum, compute_dtype, batch_size,
+                      data_sharding, n_steps):
+    """n_steps optimizer steps per host dispatch: batch indices sampled ON
+    DEVICE from the HBM-resident corpus, lax.scan over steps. The stage-1
+    model is so small that the classic loop is host-dispatch-bound (~5 ms of
+    per-step Python on a busy host vs <1 ms of device compute); this path
+    removes all per-step host work. Metrics are chunk means."""
+    base = make_train_step(model_cfg, opt, accum, compute_dtype)
+
+    def chunk(params, opt_state, corpus, rng, gumbel_t):
+        def body(carry, key):
+            params, opt_state = carry
+            k_idx, k_step = jax.random.split(key)
+            idx = jax.random.randint(
+                k_idx, (accum, batch_size), 0, corpus.shape[0]
+            )
+            x = jax.lax.with_sharding_constraint(corpus[idx], data_sharding)
+            params, opt_state, metrics = base(
+                params, opt_state, x, k_step, gumbel_t
+            )
+            return (params, opt_state), metrics
+
+        keys = jax.random.split(rng, n_steps)
+        (params, opt_state), ms = jax.lax.scan(
+            body, (params, opt_state), keys
+        )
+        return params, opt_state, jax.tree.map(
+            lambda m: jnp.mean(m, axis=0), ms
+        )
+
+    return chunk
 
 
 def make_eval_step(model_cfg, gumbel_t, compute_dtype):
@@ -318,6 +358,30 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
         else temperature.ConstantTemperature(cfg.gumbel_temperature)
     )
 
+    # device-resident data loop (steps_per_call > 1): the corpus lives in
+    # HBM as a replicated global array; chunks are clamped to the next
+    # log/eval/save boundary so cadence semantics match the host-fed loop
+    spc = max(1, cfg.steps_per_call)
+    if spc > 1:
+        corpus_dev = mesh_lib.replicate_host_array(train_x, device_mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_sharding = NamedSharding(
+            device_mesh, P(None, mesh_lib.DATA_AXIS, None)
+        )
+        chunk_fns = {}
+
+        def get_chunk_fn(n):
+            if n not in chunk_fns:
+                chunk_fns[n] = jax.jit(
+                    make_device_chunk(
+                        model_cfg, opt, accum, compute_dtype,
+                        cfg.batch_size, data_sharding, n,
+                    ),
+                    donate_argnums=(0, 1),
+                )
+            return chunk_fns[n]
+
     # per-process stream: each host samples ITS slice of the global batch
     host_rng = np.random.default_rng(cfg.seed + jax.process_index())
     profiler = profiling.StepProfiler(
@@ -325,22 +389,43 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
     )
     t_start = time.monotonic()
     examples_seen = 0
-    for it in range(start_iter, start_iter + cfg.iterations):
-        profiler.step(it - start_iter)
-        idx = host_rng.integers(0, train_x.shape[0], size=(accum, local_bs))
-        batch = mesh_lib.shard_batch(
-            train_x[idx].reshape(accum, local_bs, -1),
-            device_mesh,
-            axis=1,
-        )
+    first_it = start_iter
+    it = start_iter - 1  # `it` = index of the last completed iteration
+    while it + 1 < start_iter + cfg.iterations:
+        it_start = it + 1
+        profiler.step(it_start - start_iter)
+        gumbel_t = temp_sched.get_t(it_start)
         rng, step_key = jax.random.split(rng)
-        gumbel_t = temp_sched.get_t(it)
-        params, opt_state, metrics = step_fn(
-            params, opt_state, batch, step_key, jnp.float32(gumbel_t)
-        )
-        examples_seen += accum * cfg.batch_size
+        if spc > 1:
+            # distance to the end and to each cadence boundary
+            n = min(
+                spc,
+                start_iter + cfg.iterations - it_start,
+                *(c - it_start % c
+                  for c in (cfg.log_every, cfg.eval_every,
+                            cfg.save_model_every)),
+            )
+            params, opt_state, metrics = get_chunk_fn(n)(
+                params, opt_state, corpus_dev, step_key,
+                jnp.float32(gumbel_t),
+            )
+            it = it_start + n - 1
+        else:
+            idx = host_rng.integers(
+                0, train_x.shape[0], size=(accum, local_bs)
+            )
+            batch = mesh_lib.shard_batch(
+                train_x[idx].reshape(accum, local_bs, -1),
+                device_mesh,
+                axis=1,
+            )
+            params, opt_state, metrics = step_fn(
+                params, opt_state, batch, step_key, jnp.float32(gumbel_t)
+            )
+            it = it_start
+        examples_seen += (it - it_start + 1) * accum * cfg.batch_size
 
-        if (it + 1) % cfg.log_every == 0 or it == start_iter:
+        if (it + 1) % cfg.log_every == 0 or it_start == first_it:
             m = jax.device_get(metrics)
             embs = m.pop("embs_norm_mean")
             m.update({f"emb_avg_norm_{i}": embs[i] for i in range(len(embs))})

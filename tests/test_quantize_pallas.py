@@ -177,6 +177,8 @@ def test_fused_training_path_in_model_matches_jnp(mode_name, monkeypatch):
     monkeypatch.setattr(
         quantize_pallas, "use_interpret", lambda: True
     )
+    # the size heuristic would route this tiny test config to jnp
+    monkeypatch.setattr(rqvae, "FUSED_TRAIN_MIN_CODEBOOK_VOLUME", 0)
     v_fus, g_fus = jax.value_and_grad(loss_fn)(params, x)
     np.testing.assert_allclose(float(v_ref), float(v_fus), rtol=1e-5)
     jax.tree.map(
