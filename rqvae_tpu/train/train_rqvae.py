@@ -397,14 +397,16 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
         gumbel_t = temp_sched.get_t(it_start)
         rng, step_key = jax.random.split(rng)
         if spc > 1:
-            # distance to the end and to each cadence boundary
+            # distance to the end and to each cadence boundary; the very
+            # first chunk is a single step so the step-1 loss is logged,
+            # matching the host-fed loop (and the reference's iter-0 log)
             n = min(
                 spc,
                 start_iter + cfg.iterations - it_start,
                 *(c - it_start % c
                   for c in (cfg.log_every, cfg.eval_every,
                             cfg.save_model_every)),
-            )
+            ) if it_start != first_it else 1
             params, opt_state, metrics = get_chunk_fn(n)(
                 params, opt_state, corpus_dev, step_key,
                 jnp.float32(gumbel_t),
