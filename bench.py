@@ -51,8 +51,10 @@ PROFILES = {
     # bs 64, 768-dim inputs, 3x256 codebooks, embed 32)
     "rqvae": dict(batch_size=64, input_dim=768),
     # the shipped Amazon config's estimator (rqvae_amazon.gin:24
-    # ROTATION_TRICK) — runs the fused Pallas training kernel
-    # (ops/quantize_pallas.rq_quantize_train)
+    # ROTATION_TRICK). NOTE: at this shape (3x256x32 codebooks) the size
+    # heuristic routes training to XLA's jnp path — the fused Pallas
+    # kernel is only faster (and only benchmarked) at large codebooks;
+    # see rqvae_stretch.
     "rqvae_rotation": dict(batch_size=64, input_dim=768,
                            mode="ROTATION_TRICK"),
     # device-resident data loop (train_rqvae steps_per_call): corpus in HBM,
@@ -60,6 +62,13 @@ PROFILES = {
     # speed-of-light path (~0.26 ms/step vs ~5 ms host-dispatch-bound)
     "rqvae_device_loop": dict(batch_size=64, input_dim=768,
                               mode="ROTATION_TRICK", steps_per_call=32),
+    # BASELINE.json stretch shape (4x2048x64 codebooks, bs 1024): crosses
+    # FUSED_TRAIN_MIN_CODEBOOK_VOLUME, so this DOES run the fused Pallas
+    # training kernel (ops/quantize_pallas.rq_quantize_train) — measured
+    # 1.54x the jnp path here
+    "rqvae_stretch": dict(batch_size=1024, input_dim=768,
+                          mode="ROTATION_TRICK", steps_per_call=16,
+                          embed_dim=64, codebook_size=2048, n_layers=4),
 }
 
 
@@ -74,8 +83,10 @@ def run_rqvae_profile(p) -> float:
 
     bsz, d = p["batch_size"], p["input_dim"]
     cfg = rqvae_lib.RqVaeConfig(
-        input_dim=d, embed_dim=32, hidden_dims=(512, 256, 128),
-        codebook_size=256, n_layers=3, n_cat_feats=0,
+        input_dim=d, embed_dim=p.get("embed_dim", 32),
+        hidden_dims=(512, 256, 128),
+        codebook_size=p.get("codebook_size", 256),
+        n_layers=p.get("n_layers", 3), n_cat_feats=0,
         codebook_mode=p.get("mode", "GUMBEL_SOFTMAX"),
     )
     rng = np.random.RandomState(0)

@@ -42,6 +42,9 @@ def evaluate_checkpoint(
 
     from rqvae_tpu.models import retrieval
 
+    # must precede the first JAX computation (corpus tokenization below) or
+    # multi-host init becomes impossible — see mesh.maybe_init_distributed
+    mesh_lib.maybe_init_distributed()
     bundle = registry.load(
         cfg.dataset,
         cfg.data_path or cfg.dataset_folder,
@@ -72,7 +75,6 @@ def evaluate_checkpoint(
     params = state["params"]
     print(f"---Loaded decoder iter {meta['step']}---", file=sys.stderr)
 
-    mesh_lib.maybe_init_distributed()
     device_mesh = mesh_lib.make_mesh(cfg.mesh_shape)
     params = jax.device_put(
         params, mesh_lib.dp_param_shardings(params, device_mesh)

@@ -40,13 +40,29 @@ def maybe_init_distributed() -> int:
 
     pod_env = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     multi_worker_pod = len([h for h in pod_env.split(",") if h]) > 1
-    if jax.process_count() == 1 and (
-        os.environ.get("JAX_COORDINATOR_ADDRESS") or multi_worker_pod
-    ):
+    coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator or multi_worker_pod:
+        # ORDER MATTERS: initialize() must run before ANY backend-touching
+        # call — including jax.process_count(), which initializes the
+        # backend and would make initialize() raise unconditionally (the
+        # round-2 reviewer confirmed the old env-after-process_count order
+        # made this whole branch dead code). Callers must invoke this
+        # before their first JAX computation. initialize() does not read
+        # JAX_NUM_PROCESSES/JAX_PROCESS_ID itself (it only auto-detects
+        # cluster schedulers), so forward them explicitly when set.
+        kwargs = {}
+        if coordinator:
+            kwargs["coordinator_address"] = coordinator
+            if os.environ.get("JAX_NUM_PROCESSES"):
+                kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+                kwargs["process_id"] = int(os.environ.get("JAX_PROCESS_ID", 0))
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kwargs)
         except RuntimeError:
-            pass  # already initialized by the launcher
+            pass  # already initialized (by the launcher or a prior call)
+        except ValueError as e:
+            print(f"WARNING: jax.distributed.initialize failed: {e}",
+                  file=sys.stderr)
     if multi_worker_pod and jax.process_count() == 1:
         print(
             "WARNING: TPU pod topology detected (TPU_WORKER_HOSTNAMES has "
@@ -119,6 +135,23 @@ def host_block(global_idx: np.ndarray, local_rows: int) -> np.ndarray:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def fetch_to_host(tree):
+    """Host-numpy copy of a (possibly sharded) device pytree.
+
+    Single process: plain device_get. Multi-process: device_get raises on
+    arrays with non-addressable shards (e.g. tensor-parallel params whose
+    'model' axis spans hosts), so gather across processes first
+    (multihost_utils.process_allgather). COLLECTIVE in multi-process mode —
+    every process must call it, even if only process 0 uses the result."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        # tiled=True: reassemble each global array at its global shape
+        # (replicated arrays come back unchanged; sharded axes concatenate)
+        return multihost_utils.process_allgather(tree, tiled=True)
+    return jax.device_get(tree)
 
 
 def shard_batch(batch, mesh: Mesh, axis: int = 0):

@@ -61,7 +61,11 @@ def save(root: str, step: int, state: Any, meta: Optional[dict] = None) -> str:
     primary = jax.process_index() == 0
     if primary:
         os.makedirs(path, exist_ok=True)
-    state = jax.device_get(state)
+    # multi-host-safe host fetch: plain device_get raises on arrays whose
+    # shards span processes (tensor-parallel params / Adam moments)
+    from rqvae_tpu.parallel.mesh import fetch_to_host
+
+    state = fetch_to_host(state)
     if _HAS_ORBAX:
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(os.path.join(path, "state"), state, force=True)

@@ -20,17 +20,21 @@ class TemperatureScheduler:
     anneal_rate: float = 1e-5
     step_size: int = 1000
 
-    def __post_init__(self):
-        self.t = float(self.t0)
-
     def get_t(self, it: int) -> float:
-        """Reference semantics: anneal only on the last iter of each window
-        (gumbel.py:35-41), multiplicative exp(-rate * iter) with a floor."""
-        if it % self.step_size == self.step_size - 1:
-            self.t = float(
-                np.maximum(self.t * np.exp(-self.anneal_rate * it), self.min_t)
-            )
-        return self.t
+        """Reference semantics: anneal on the last iter of each window
+        (gumbel.py:35-41), multiplicative ``t *= exp(-rate * it)`` with a
+        floor — computed in CLOSED FORM so the schedule is STATELESS: the
+        device-resident chunked loop samples t only at chunk starts, and a
+        stateful trigger (``it % step_size == step_size-1``) would silently
+        never fire there (round-2 review finding). K completed boundaries
+        at iters k*step_size-1 give exponent sum K(K+1)/2*step_size - K;
+        once the floor is hit the multiplicative chain stays there, so a
+        single final max() is exact."""
+        k = (it + 1) // self.step_size
+        exponent_sum = self.step_size * k * (k + 1) // 2 - k
+        return float(np.maximum(
+            self.t0 * np.exp(-self.anneal_rate * exponent_sum), self.min_t
+        ))
 
 
 class ConstantTemperature:

@@ -326,6 +326,9 @@ def run_generative_eval(
 
 def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
     logger = logger or MetricsLogger(every=cfg.log_every)
+    # must precede the first JAX computation (corpus tokenization below) or
+    # multi-host init becomes impossible — see mesh.maybe_init_distributed
+    mesh_lib.maybe_init_distributed()
     compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -357,7 +360,6 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
             file=sys.stderr,
         )
 
-    mesh_lib.maybe_init_distributed()
     local_bs = mesh_lib.process_local_batch_size(cfg.batch_size)
     device_mesh = mesh_lib.make_mesh(cfg.mesh_shape)
     rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)

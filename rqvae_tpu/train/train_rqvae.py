@@ -268,6 +268,9 @@ def id_diversity_metrics(params, model_cfg, corpus_x) -> dict:
 
 def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
     logger = logger or MetricsLogger(every=cfg.log_every)
+    # must precede the first JAX computation or multi-host init becomes
+    # impossible — see mesh.maybe_init_distributed
+    mesh_lib.maybe_init_distributed()
     model_cfg = cfg.model_config()
     compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
     if cfg.debug_nans:
@@ -290,7 +293,6 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
     eval_x = items.filtered("eval") if cfg.do_eval else None
     index_x = items.filtered("all")
 
-    mesh_lib.maybe_init_distributed()
     local_bs = mesh_lib.process_local_batch_size(cfg.batch_size)
     device_mesh = mesh_lib.make_mesh(cfg.mesh_shape)
     rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)
@@ -400,12 +402,15 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
             # distance to the end and to each cadence boundary; the very
             # first chunk is a single step so the step-1 loss is logged,
             # matching the host-fed loop (and the reference's iter-0 log)
+            cadences = (cfg.log_every, cfg.eval_every, cfg.save_model_every)
+            if cfg.gumbel_anneal:
+                # temperature changes at anneal boundaries; t is constant
+                # within a chunk, so chunks must not straddle them
+                cadences += (cfg.gumbel_anneal_step_size,)
             n = min(
                 spc,
                 start_iter + cfg.iterations - it_start,
-                *(c - it_start % c
-                  for c in (cfg.log_every, cfg.eval_every,
-                            cfg.save_model_every)),
+                *(c - it_start % c for c in cadences),
             ) if it_start != first_it else 1
             params, opt_state, metrics = get_chunk_fn(n)(
                 params, opt_state, corpus_dev, step_key,
@@ -459,13 +464,14 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
                 losses.append([float(v) for v in eval_fn(params, xe)])
             ev = np.asarray(losses).mean(axis=0)
             # corpus re-tokenization on process 0 only (reference
-            # train_rqvae.py:223-239 runs it on rank 0): params are
-            # replicated, so host 0 pulls its local copy and runs a
-            # process-local jit — no collective participation needed, and
-            # N-1 hosts skip the corpus-sized redundant work
+            # train_rqvae.py:223-239 runs it on rank 0). The host fetch is
+            # collective (params may be TP-sharded across hosts); the
+            # corpus-sized tokenization then runs as a process-local jit on
+            # host 0 only — N-1 hosts skip the redundant work
+            host_params = mesh_lib.fetch_to_host(params)
             div = (
                 id_diversity_metrics(
-                    jax.device_get(params), model_cfg, jnp.asarray(index_x)
+                    host_params, model_cfg, jnp.asarray(index_x)
                 )
                 if jax.process_index() == 0
                 else {}

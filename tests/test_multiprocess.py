@@ -112,3 +112,34 @@ def test_two_process_decoder_train(tmp_path):
     assert any(k == "h@4_slice_:4" or k.startswith("h@")
                for (k, _) in scalars), sorted({k for k, _ in scalars})[:20]
     assert os.path.isdir(os.path.join(tmp_path, "dec"))
+
+
+def test_env_auto_init_two_processes(tmp_path):
+    """maybe_init_distributed must self-initialize from env vars alone
+    (regression: calling jax.process_count() before initialize() makes
+    auto-init silently impossible — each host would train independently)."""
+    coord = f"localhost:{_free_port()}"
+    env_base = dict(os.environ)
+    env_base.pop("PYTHONPATH", None)
+    env_base["JAX_PLATFORMS"] = "cpu"
+    worker = os.path.join(REPO, "tests", "_mp_envinit_worker.py")
+    procs = []
+    for i in range(2):
+        env = dict(env_base)
+        env["JAX_COORDINATOR_ADDRESS"] = coord
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(i)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=REPO,
+        ))
+    for i, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise AssertionError("env auto-init worker hung")
+        assert p.returncode == 0, f"worker {i} failed:\n{out.decode()[-2000:]}"
+        assert f"ENVINIT_OK {i}" in out.decode()
