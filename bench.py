@@ -329,7 +329,8 @@ def main() -> None:
     if "_generate" in args.profile:
         metric = f"beam_search_queries_per_s_{args.profile}_bs256"
     elif args.profile.startswith("rqvae"):
-        metric = f"{args.profile}_train_examples_per_s_bs64"
+        bs = PROFILES[args.profile]["batch_size"]
+        metric = f"{args.profile}_train_examples_per_s_bs{bs}"
     else:
         metric = f"decoder_train_examples_per_s_{args.profile}_bs256"
     baseline_path = os.path.join(
