@@ -57,6 +57,27 @@ def _gumbel_topk_sample(rng, logp, n):
     return idx.astype(jnp.int32)
 
 
+def _gumbel_topk_mask(rng, logp, n):
+    """Boolean mask of the Gumbel-top-n sample over the full vocab row.
+
+    Same sampled SET as _gumbel_topk_sample (the n highest Gumbel-perturbed
+    logits), but as a (rows, K) mask so scoring can run on the full dense
+    grid like the exhaustive branch — no index gathers, no wide top_k(n).
+    The threshold (n-th largest perturbed value) is found with
+    top_k(min(n, K-n+1)): for n=200 of K=256 that is top_k(57) instead of
+    top_k(200), which made the sampled branch ~4.5x the exhaustive path's
+    cost (measured: 1,662 vs 7,435 q/s at the serving shape)."""
+    k_vocab = logp.shape[-1]
+    g = -jnp.log(-jnp.log(jax.random.uniform(rng, logp.shape) + 1e-20) + 1e-20)
+    perturbed = logp + g
+    if n <= k_vocab - n + 1:
+        thresh = jax.lax.top_k(perturbed, n)[0][..., -1:]
+    else:
+        # n-th largest == (K-n+1)-th smallest
+        thresh = -jax.lax.top_k(-perturbed, k_vocab - n + 1)[0][..., -1:]
+    return perturbed >= thresh
+
+
 def generate_next_sem_ids(
     params,
     cfg: RetrievalConfig,
@@ -88,17 +109,16 @@ def generate_next_sem_ids(
     )[0]  # (K,) valid first tokens
 
     if exhaustive:
-        scores = jnp.where(first_mask, 0.0, INVALID_PENALTY) + logp_dist
-        top_scores, top_idx = jax.lax.top_k(scores, k)               # (B, k)
-        generated = top_idx.astype(jnp.int32)[..., None]             # (B,k,1)
+        allowed = first_mask[None, :]
     else:
         rng, sub = jax.random.split(rng)
-        samples = _gumbel_topk_sample(sub, logp_dist, n_candidates)      # (B, C)
-        sampled_logp = jnp.take_along_axis(logp_dist, samples, axis=-1)  # (B, C)
-        valid = first_mask[samples]                                      # (B, C)
-        scores = jnp.where(valid, 0.0, INVALID_PENALTY) + sampled_logp
-        top_scores, top_idx = jax.lax.top_k(scores, k)                   # (B, k)
-        generated = jnp.take_along_axis(samples, top_idx, axis=-1)[..., None]
+        # sampled tokens as a dense mask; scoring below is then identical
+        # to the exhaustive branch (valid = sampled AND a corpus child)
+        allowed = _gumbel_topk_mask(sub, logp_dist, n_candidates) \
+            & first_mask[None, :]
+    scores = jnp.where(allowed, 0.0, INVALID_PENALTY) + logp_dist
+    top_scores, top_idx = jax.lax.top_k(scores, k)               # (B, k)
+    generated = top_idx.astype(jnp.int32)[..., None]             # (B,k,1)
     log_probas = top_scores
 
     # expand the BOS-step self-attention cache to beam rows: each of a
@@ -128,31 +148,17 @@ def generate_next_sem_ids(
         )  # (B*k, K)
         mask = semids.children_mask(index, fut)  # (B*k, K) valid next tokens
 
-        if exhaustive:
-            scores = (
-                jnp.where(mask, 0.0, INVALID_PENALTY)
-                + logp_dist
-                + log_probas.reshape(b * k, 1)
-            ).reshape(b, k * cfg.num_embeddings)
-            top_scores, top_idx = jax.lax.top_k(scores, k)      # (B, k)
-            parent = top_idx // cfg.num_embeddings
-            winner_token = (top_idx % cfg.num_embeddings).astype(jnp.int32)
-        else:
+        if not exhaustive:
             rng, sub = jax.random.split(rng)
-            samples = _gumbel_topk_sample(sub, logp_dist, n_candidates)   # (B*k, C)
-            sampled_logp = jnp.take_along_axis(logp_dist, samples, axis=-1)
-            valid = jnp.take_along_axis(mask, samples, axis=-1)
-            scores = (
-                jnp.where(valid, 0.0, INVALID_PENALTY)
-                + sampled_logp
-            ).reshape(b, k * n_candidates) + jnp.repeat(
-                log_probas, n_candidates, axis=-1
-            )  # (B, k*C)
-            top_scores, top_idx = jax.lax.top_k(scores, k)  # (B, k)
-            parent = top_idx // n_candidates        # beam each winner came from
-            winner_token = jnp.take_along_axis(
-                samples.reshape(b, k * n_candidates), top_idx, axis=-1
-            )  # (B, k)
+            mask = mask & _gumbel_topk_mask(sub, logp_dist, n_candidates)
+        scores = (
+            jnp.where(mask, 0.0, INVALID_PENALTY)
+            + logp_dist
+            + log_probas.reshape(b * k, 1)
+        ).reshape(b, k * cfg.num_embeddings)
+        top_scores, top_idx = jax.lax.top_k(scores, k)      # (B, k)
+        parent = top_idx // cfg.num_embeddings
+        winner_token = (top_idx % cfg.num_embeddings).astype(jnp.int32)
         parent_prefix = jnp.take_along_axis(
             generated, parent[..., None], axis=1
         )  # (B, k, i)
