@@ -38,6 +38,7 @@ def main(argv=None):
     p.add_argument("--n-movies", type=int, default=4000)
     p.add_argument("--n-users", type=int, default=600)
     p.add_argument("--ratings-per-user", type=int, default=260)
+    p.add_argument("--n-clusters", type=int, default=40)
     p.add_argument("--seed", type=int, default=5)
     args = p.parse_args(argv)
 
@@ -45,26 +46,35 @@ def main(argv=None):
     raw = os.path.join(args.root, "raw")
     os.makedirs(raw, exist_ok=True)
     genres = ["Action", "Comedy", "Drama", "Horror", "Sci-Fi", "Romance"]
-    n_clusters = 40
+    n_clusters = args.n_clusters
     cluster = rng.integers(0, n_clusters, args.n_movies)
     with open(os.path.join(raw, "movies.csv"), "w") as f:
         f.write("movieId,title,genres\n")
         for m in range(1, args.n_movies + 1):
             g = "|".join(rng.choice(genres, 2, replace=False))
             f.write(f'{m},"Movie c{cluster[m-1]} n{m} (2001)",{g}\n')
+    # vectorized rating generation (the per-rating Python loop took minutes
+    # at the >=50k-window quality-parity scale: ~10M ratings)
     by_cluster = [np.where(cluster == c)[0] + 1 for c in range(n_clusters)]
-    t = 1_000_000
-    with open(os.path.join(raw, "ratings.csv"), "w") as f:
-        f.write("userId,movieId,rating,timestamp\n")
-        for u in range(1, args.n_users + 1):
-            prefs = rng.choice(n_clusters, 3, replace=False)
-            for _ in range(args.ratings_per_user):
-                c = prefs[rng.integers(0, 3)] if rng.random() < 0.85 else \
-                    rng.integers(0, n_clusters)
-                pool = by_cluster[int(c)]
-                m = int(pool[rng.integers(0, len(pool))])
-                t += int(rng.integers(1, 30))
-                f.write(f"{u},{m},{float(rng.choice([3.0, 4.0, 5.0]))},{t}\n")
+    flat_pool = np.concatenate(by_cluster)
+    pool_len = np.array([len(x) for x in by_cluster])
+    pool_off = np.concatenate([[0], np.cumsum(pool_len)[:-1]])
+    n = args.n_users * args.ratings_per_user
+    u = np.repeat(np.arange(1, args.n_users + 1), args.ratings_per_user)
+    prefs = rng.integers(0, n_clusters, (args.n_users, 3))
+    c = np.where(
+        rng.random(n) < 0.85,
+        prefs[u - 1, rng.integers(0, 3, n)],
+        rng.integers(0, n_clusters, n),
+    )
+    m = flat_pool[pool_off[c] + (rng.random(n) * pool_len[c]).astype(np.int64)]
+    t = 1_000_000 + np.cumsum(rng.integers(1, 30, n))
+    rating = rng.choice([3.0, 4.0, 5.0], n)
+    import pandas as pd
+
+    pd.DataFrame(
+        {"userId": u, "movieId": m, "rating": rating, "timestamp": t}
+    ).to_csv(os.path.join(raw, "ratings.csv"), index=False)
 
     out = movielens.process(
         args.root, "ml32m", max_seq_len=200,

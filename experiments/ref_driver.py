@@ -9,14 +9,40 @@ reference-side numbers for QUALITY.md. It is a test/benchmark harness, not
 part of the framework.
 
 Notes on the minimal shims required to run the reference outside its repo:
-  * gin / triton are not installed -> module stubs (gin decorators are
-    no-ops here; the triton kernel is never invoked in jagged_mode=False).
+  * gin is not installed -> module stub (gin decorators are no-ops here).
   * data.processed imports torch_geometric (not installed) -> stubbed; the
     tokenizer only needs an indexable dataset, provided by _CorpusData.
-  * jagged_mode=False: the reference's non-jagged TRAINING branch crashes on
-    an undefined `unred_loss` (modules/model.py:269 — variable only assigned
-    in the jagged branch at :260), so the training loss is computed here from
-    model._predict + out_proj with the exact semantics of model.py:263-266.
+  * --arch custom (DEFAULT, jagged_mode=True): runs the reference's REAL
+    architecture — the custom pre-RMSNorm TransformerEncoderDecoder
+    (/root/reference/modules/transformer/model.py:139-188). Two shims make
+    the jagged path runnable on CPU without triton:
+      (a) ops.triton.jagged is replaced with pure-torch equivalents:
+          padded_to_jagged_tensor = boolean-mask gather + torch.nested.
+          nested_tensor_from_jagged (differentiable: autograd flows through
+          the gathered values exactly like the reference's custom Function
+          backward, /root/reference/ops/triton/jagged.py:69-77);
+          jagged_to_flattened_tensor = NestedTensor.values() (identical to
+          the reference, jagged.py:88-89).
+      (b) Attend.jagged_forward (/root/reference/modules/transformer/
+          attention.py:113-124) is monkeypatched with a dense masked
+          F.scaled_dot_product_attention of identical semantics: NJT ->
+          padded buffer, key-padding mask from the offsets, per-sequence
+          causal mask (sequences are left-aligned, so tril on the padded
+          buffer is exact), outputs gathered back to jagged values. Padded
+          query rows are computed-then-dropped; fully-masked rows are given
+          a uniform dummy mask to keep the softmax finite (their outputs are
+          discarded by the gather, and they receive zero upstream gradient).
+    Everything else (RMSNorm, MLP, Linear, dropout, residual adds, the
+    encoder-output cache, the model's own jagged loss branch at
+    modules/model.py:256-261) runs unmodified on torch NestedTensors.
+  * --arch nn (jagged_mode=False): the reference's fallback torch
+    nn.Transformer (post-LayerNorm, biased projections, ReLU FFN —
+    modules/model.py:87-95). NOTE this is a DIFFERENT architecture from the
+    reference's GPU path; kept for the secondary comparison in QUALITY.md.
+    Its non-jagged TRAINING branch crashes on an undefined `unred_loss`
+    (modules/model.py:269 — only assigned in the jagged branch at :260), so
+    the training loss is computed here from model._predict + out_proj with
+    the exact semantics of model.py:263-266.
   * torch.compile is disabled (dynamo off) — semantics-neutral on CPU.
 
 Usage:
@@ -46,6 +72,76 @@ torch._dynamo.config.disable = True
 torch.manual_seed(0)
 
 
+def _padded_to_jagged_tensor(x, lengths, max_len):
+    """Pure-torch replacement for the reference's triton-backed
+    padded_to_jagged_tensor (/root/reference/ops/triton/jagged.py:80-85):
+    differentiable boolean-mask gather into a torch.jagged NestedTensor."""
+    assert x.dim() == 3 and max_len == x.shape[1]
+    lengths = lengths.to(torch.int64)
+    mask = (
+        torch.arange(max_len, device=x.device).unsqueeze(0)
+        < lengths.unsqueeze(1)
+    )
+    values = x[mask]
+    offsets = torch.cat(
+        [torch.zeros(1, dtype=torch.int64, device=x.device),
+         lengths.cumsum(0)]
+    )
+    return torch.nested.nested_tensor_from_jagged(values, offsets)
+
+
+def _jagged_to_flattened_tensor(nt):
+    return nt.values()
+
+
+def _njt_to_dense(nt):
+    """NJT -> (dense padded (B, N, D), valid-mask (B, N)). Differentiable."""
+    offsets = nt.offsets()
+    lengths = offsets.diff()
+    values = nt.values()
+    B = lengths.numel()
+    N = int(lengths.max())
+    mask = (
+        torch.arange(N, device=values.device).unsqueeze(0)
+        < lengths.unsqueeze(1)
+    )
+    dense = values.new_zeros(B, N, values.shape[-1])
+    dense[mask] = values
+    return dense, mask
+
+
+def _dense_jagged_forward(self, qu, ke, va, is_causal):
+    """Monkeypatch for Attend.jagged_forward (/root/reference/modules/
+    transformer/attention.py:113-124): identical attention semantics via a
+    dense masked SDPA (flash SDPA over NJTs is CUDA-only)."""
+    import torch.nn.functional as F  # noqa: PLC0415
+
+    q, qm = _njt_to_dense(qu)
+    k, km = _njt_to_dense(ke)
+    v, _ = _njt_to_dense(va)
+    B, Nq, _ = q.shape
+    Nk = k.shape[1]
+    h, dh = self.num_heads, self.head_dim
+    q = q.view(B, Nq, h, dh).transpose(1, 2)
+    k = k.view(B, Nk, h, dh).transpose(1, 2)
+    v = v.view(B, Nk, h, dh).transpose(1, 2)
+    mask = km[:, None, None, :]
+    if is_causal:
+        # left-aligned sequences: per-sequence causal == tril on the buffer
+        mask = mask & torch.tril(
+            torch.ones(Nq, Nk, dtype=torch.bool, device=q.device)
+        )
+    # keep softmax finite on fully-masked (padded-query) rows; their outputs
+    # are dropped by the qm gather below and get zero upstream gradient
+    mask = mask | ~mask.any(-1, keepdim=True)
+    dropout_p = self.dropout if self.training and self.dropout else 0.0
+    out = F.scaled_dot_product_attention(
+        q, k, v, attn_mask=mask, dropout_p=dropout_p
+    )
+    out = out.transpose(1, 2).reshape(B, Nq, h * dh)
+    return torch.nested.nested_tensor_from_jagged(out[qm], qu.offsets())
+
+
 def install_stubs() -> None:
     if "gin" not in sys.modules:
         gin = types.ModuleType("gin")
@@ -54,19 +150,15 @@ def install_stubs() -> None:
             fn if fn is not None else (lambda f: f)
         )
         sys.modules["gin"] = gin
-    # stub the reference's triton-kernel module itself (never fake `triton`:
-    # torch-inductor probes `from triton import ...` and would trip on an
-    # incomplete fake). jagged_mode=False never calls these.
+    # replace the reference's triton-kernel module with the pure-torch
+    # equivalents above (never fake `triton` itself: torch-inductor probes
+    # `from triton import ...` and would trip on an incomplete fake)
     if "ops.triton.jagged" not in sys.modules:
         ops_pkg = types.ModuleType("ops")
         ops_tr = types.ModuleType("ops.triton")
         jag = types.ModuleType("ops.triton.jagged")
-
-        def _unavailable(*a, **k):
-            raise RuntimeError("jagged path disabled in the CPU driver")
-
-        jag.padded_to_jagged_tensor = _unavailable
-        jag.jagged_to_flattened_tensor = _unavailable
+        jag.padded_to_jagged_tensor = _padded_to_jagged_tensor
+        jag.jagged_to_flattened_tensor = _jagged_to_flattened_tensor
         ops_pkg.triton = ops_tr
         ops_tr.jagged = jag
         sys.modules["ops"] = ops_pkg
@@ -94,8 +186,12 @@ from modules.tokenizer.semids import SemanticIdTokenizer  # noqa: E402
 from modules.model import EncoderDecoderRetrievalModel  # noqa: E402
 from modules.scheduler.inv_sqrt import InverseSquareRootScheduler  # noqa: E402
 from evaluate.metrics import TopKAccumulator  # noqa: E402
+from modules.transformer.attention import Attend  # noqa: E402
 
 sys.path.remove(REF)
+
+# CPU-runnable jagged attention of identical semantics (see module docstring)
+Attend.jagged_forward = _dense_jagged_forward
 
 from rqvae_tpu.data.dataset import load_item_dataset, load_seq_dataset  # noqa: E402
 
@@ -149,13 +245,15 @@ def train_rqvae(args, items, log):
     train_x = items.x[items.is_train]
     eval_x = items.x[~items.is_train]
     model = RqVae(
-        input_dim=768, embed_dim=32, hidden_dims=[512, 256, 128],
+        input_dim=768, embed_dim=args.vae_embed_dim,
+        hidden_dims=[512, 256, 128],
         codebook_size=args.codebook_size, codebook_kmeans_init=True,
         codebook_normalize=False, codebook_sim_vq=False,
         codebook_mode=QuantizeForwardMode.ROTATION_TRICK,
         n_layers=3, n_cat_features=0, commitment_weight=0.25,
     )
-    opt = torch.optim.AdamW(model.parameters(), lr=5e-4, weight_decay=0.01)
+    opt = torch.optim.AdamW(model.parameters(), lr=args.rqvae_lr,
+                            weight_decay=0.01)
     rng = np.random.default_rng(args.seed)
     t = 0.2
     model.train()
@@ -255,7 +353,8 @@ class _FastVerifier:
 
 def train_decoder(args, items, seqs_train, seqs_eval, rq_path, log):
     tokenizer = SemanticIdTokenizer(
-        input_dim=768, hidden_dims=[512, 256, 128], output_dim=32,
+        input_dim=768, hidden_dims=[512, 256, 128],
+        output_dim=args.vae_embed_dim,
         codebook_size=args.codebook_size, n_layers=3, n_cat_feats=0,
         rqvae_weights_path=rq_path,
     )
@@ -274,12 +373,12 @@ def train_decoder(args, items, seqs_train, seqs_eval, rq_path, log):
 
     model = EncoderDecoderRetrievalModel(
         embedding_dim=args.decoder_embed_dim,
-        attn_dim=args.attn_dim, dropout=0.3, num_heads=8,
+        attn_dim=args.attn_dim, dropout=args.dropout, num_heads=args.attn_heads,
         n_layers=args.attn_layers, num_embeddings=args.codebook_size,
         sem_id_dim=tokenizer.sem_ids_dim,
         inference_verifier_fn=_FastVerifier(tokenizer.cached_ids),
         max_pos=seqs_train.max_seq_len * tokenizer.sem_ids_dim,
-        jagged_mode=False,
+        jagged_mode=args.arch == "custom",
     )
     opt = torch.optim.AdamW(model.parameters(), lr=3e-4, weight_decay=0.035)
     sched = InverseSquareRootScheduler(optimizer=opt, warmup_steps=10000)
@@ -290,14 +389,20 @@ def train_decoder(args, items, seqs_train, seqs_eval, rq_path, log):
         raw = seqs_train.sample_batch(rng, args.decoder_bs, subsample=True)
         tok = tokenizer(_seq_torch_batch(raw, items.x))
         opt.zero_grad()
-        loss, loss_d = _decoder_loss(model, tok)
+        if args.arch == "custom":
+            # the reference's own jagged loss branch (modules/model.py:256-261)
+            out = model(tok)
+            loss, loss_d = out.loss, out.loss_d
+        else:
+            loss, loss_d = _decoder_loss(model, tok)
         loss.backward()
         opt.step()
         sched.step()
         if (it + 1) % 200 == 0 or it == 0:
-            log({"stage": "decoder", "iter": it + 1,
-                 "total_loss": float(loss),
-                 **{f"loss_{d}": float(loss_d[d]) for d in range(len(loss_d))},
+            log({"stage": "decoder", "iter": it + 1, "arch": args.arch,
+                 "total_loss": float(loss.detach()),
+                 **{f"loss_{d}": float(loss_d[d].detach())
+                    for d in range(len(loss_d))},
                  "it_per_s": (it + 1) / (time.monotonic() - t0)})
         if (it + 1) % args.full_eval_every == 0 or it + 1 == args.decoder_iters:
             evaluate_decoder(args, model, tokenizer, items, seqs_eval, log,
@@ -329,7 +434,8 @@ def evaluate_decoder(args, model, tokenizer, items, seqs_eval, log, it):
     model.enable_generation = False
     metrics = acc.reduce()
     metrics.update({k: v / acc.total for k, v in ndcg.items()})
-    log({"stage": "decoder_full_eval", "iter": it, "n_eval": acc.total,
+    log({"stage": "decoder_full_eval", "iter": it, "arch": args.arch,
+         "seed": args.seed, "n_eval": acc.total,
          "eval_s": time.monotonic() - t0, **metrics})
     return metrics
 
@@ -344,8 +450,19 @@ def main(argv=None):
     p.add_argument("--decoder-path", default=None,
                    help="saved decoder_ref.pt for --stage eval")
     p.add_argument("--eval-split", default="eval", choices=["eval", "test"])
+    p.add_argument("--arch", default="custom", choices=["custom", "nn"],
+                   help="decoder architecture: 'custom' = the reference's "
+                        "real pre-RMSNorm TransformerEncoderDecoder "
+                        "(jagged_mode=True, DEFAULT); 'nn' = its torch "
+                        "nn.Transformer fallback (jagged_mode=False)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--codebook-size", type=int, default=256)
+    p.add_argument("--max-seq-len", type=int, default=20,
+                   help="history length in items (20 beauty, 200 ml32m)")
+    p.add_argument("--vae-embed-dim", type=int, default=32)
+    p.add_argument("--rqvae-lr", type=float, default=5e-4)
+    p.add_argument("--attn-heads", type=int, default=8)
+    p.add_argument("--dropout", type=float, default=0.3)
     p.add_argument("--rqvae-iters", type=int, default=40000)
     p.add_argument("--rqvae-bs", type=int, default=64)
     p.add_argument("--decoder-iters", type=int, default=10000)
@@ -361,6 +478,10 @@ def main(argv=None):
                         "(smoke tests with an undertrained RQ-VAE only)")
     args = p.parse_args(argv)
 
+    # module-level manual_seed(0) kept for back-compat with the round-2 runs;
+    # reseed from --seed so seed-variance runs vary torch init/dropout too
+    torch.manual_seed(args.seed)
+
     os.makedirs(args.out, exist_ok=True)
     logf = open(os.path.join(args.out, "metrics.jsonl"), "a")
 
@@ -370,11 +491,19 @@ def main(argv=None):
         logf.write(json.dumps(rec) + "\n")
         logf.flush()
 
-    d = os.path.join(args.root, f"processed_{args.split}")
+    # amazon artifacts live in processed_<split>; movielens in processed/
+    sub = f"processed_{args.split}" if args.split else "processed"
+    d = os.path.join(args.root, sub)
     items = load_item_dataset(os.path.join(d, "items.npz"))
-    seqs_train = load_seq_dataset(os.path.join(d, "seqs_train.npz"), 20)
+    # the reference truncates item features to the 768-dim text embedding in
+    # ItemData.__getitem__ (reference data/processed.py:76,153), silently
+    # dropping movielens genre one-hots; replicate for identical inputs
+    items.x = items.x[:, :768]
+    seqs_train = load_seq_dataset(
+        os.path.join(d, "seqs_train.npz"), args.max_seq_len
+    )
     seqs_eval = load_seq_dataset(
-        os.path.join(d, f"seqs_{args.eval_split}.npz"), 20
+        os.path.join(d, f"seqs_{args.eval_split}.npz"), args.max_seq_len
     )
 
     rq_path = args.rqvae_path or os.path.join(args.out, "rqvae_ref.pt")
@@ -385,19 +514,20 @@ def main(argv=None):
     if args.stage == "eval":
         # eval-only: rebuild tokenizer + model, load the saved decoder
         tokenizer = SemanticIdTokenizer(
-            input_dim=768, hidden_dims=[512, 256, 128], output_dim=32,
+            input_dim=768, hidden_dims=[512, 256, 128],
+            output_dim=args.vae_embed_dim,
             codebook_size=args.codebook_size, n_layers=3, n_cat_feats=0,
             rqvae_weights_path=rq_path,
         )
         tokenizer.precompute_corpus_ids(_CorpusData(items.x))
         model = EncoderDecoderRetrievalModel(
             embedding_dim=args.decoder_embed_dim,
-            attn_dim=args.attn_dim, dropout=0.3, num_heads=8,
+            attn_dim=args.attn_dim, dropout=args.dropout, num_heads=args.attn_heads,
             n_layers=args.attn_layers, num_embeddings=args.codebook_size,
             sem_id_dim=tokenizer.sem_ids_dim,
             inference_verifier_fn=_FastVerifier(tokenizer.cached_ids),
             max_pos=seqs_train.max_seq_len * tokenizer.sem_ids_dim,
-            jagged_mode=False,
+            jagged_mode=args.arch == "custom",
         )
         dec = args.decoder_path or os.path.join(args.out, "decoder_ref.pt")
         model.load_state_dict(torch.load(dec, weights_only=False)["model"])

@@ -113,18 +113,51 @@ def _level_kwargs(cfg: RqVaeConfig, level: int):
 FUSED_TRAIN_MIN_CODEBOOK_VOLUME = 65536
 
 
+def _fused_shardable(res: jax.Array) -> bool:
+    """Whether the fused Pallas kernels may run under the registered mesh:
+    requires replicated (non-TP) codebooks — the kernel BlockSpecs assume the
+    full (L, K, D) stack in VMEM — and a batch divisible over 'data'. TP
+    codebook configs fall back to the jnp path, which GSPMD partitions
+    (distance matmul sharded over K, cross-shard argmin inserted)."""
+    from rqvae_tpu.ops import dispatch
+    from rqvae_tpu.parallel.mesh import DATA_AXIS
+
+    if dispatch.model_axis_size() > 1:
+        return False
+    mesh = dispatch.execution_mesh()
+    if mesh is None or mesh.size == 1:
+        return True
+    return res.shape[0] % int(mesh.shape[DATA_AXIS]) == 0
+
+
 def _fused_train_quantize(params, cfg: RqVaeConfig, res: jax.Array) -> RqVaeOutput:
     """Fused Pallas training path for the hard estimators (STE / rotation
     trick): one kernel for the whole distance+argmin+gather residual loop,
     estimator-exact gradients via custom VJP (ops/quantize_pallas.
     rq_quantize_train). Values AND gradients parity-locked to the jnp loop in
-    tests/test_quantize_pallas.py."""
-    from rqvae_tpu.ops import quantize_pallas
+    tests/test_quantize_pallas.py. Under a registered multi-device mesh the
+    kernel is shard_mapped over the batch ('data') axis with the codebooks
+    broadcast in — their cotangent psums out, which is exactly the DP grad
+    all-reduce. (TP-sharded codebooks never reach here: the caller gates the
+    fused route on model_axis_size() == 1.)"""
+    from jax.sharding import PartitionSpec as P
+
+    from rqvae_tpu.ops import dispatch, quantize_pallas
+    from rqvae_tpu.parallel.mesh import DATA_AXIS
 
     cbs = effective_codebooks(params, cfg)
-    out = quantize_pallas.rq_quantize_train(
-        res, cbs, cfg.codebook_mode.name, cfg.commitment_weight
+    bsp = P(DATA_AXIS)
+    call = dispatch.shard_over_batch(
+        # positional: custom_vjp functions reject keyword arguments
+        lambda x_, cb_: quantize_pallas.rq_quantize_train(
+            x_, cb_, cfg.codebook_mode.name, cfg.commitment_weight
+        ),
+        in_specs=(bsp, P()),
+        out_specs=quantize_pallas.RqTrainOutput(
+            embeddings=bsp, residuals=bsp, sem_ids=bsp, quantize_loss=bsp
+        ),
     )
+    out = call(res, cbs)
     dt = res.dtype
     return RqVaeOutput(
         embeddings=out.embeddings.astype(dt),
@@ -159,7 +192,11 @@ def get_semantic_ids(
         big_codebooks = (
             cfg.codebook_size * cfg.embed_dim >= FUSED_TRAIN_MIN_CODEBOOK_VOLUME
         )
-        if dispatch.pallas_enabled() and big_codebooks:
+        if (
+            dispatch.pallas_enabled()
+            and big_codebooks
+            and _fused_shardable(res)
+        ):
             return _fused_train_quantize(params, cfg, res)
     embs, residuals, sem_ids = [], [], []
     q_loss = jnp.zeros(res.shape[:-1], dtype=res.dtype)
@@ -265,16 +302,25 @@ def encode_and_tokenize(params, cfg: RqVaeConfig, x: jax.Array) -> jax.Array:
     """
     from rqvae_tpu.ops import dispatch
 
-    if not dispatch.pallas_enabled():
+    if not dispatch.pallas_enabled() or not _fused_shardable(x):
         return get_semantic_ids(params, cfg, x).sem_ids
 
+    from jax.sharding import PartitionSpec as P
+
     from rqvae_tpu.ops import quantize_pallas
+    from rqvae_tpu.parallel.mesh import DATA_AXIS
 
     z = encode(params, cfg, x)
     cbs = effective_codebooks(params, cfg)
-    return quantize_pallas.rq_tokenize(
-        z, cbs, commitment_weight=cfg.commitment_weight
-    ).sem_ids
+    bsp = P(DATA_AXIS)
+    call = dispatch.shard_over_batch(
+        lambda z_, cb_: quantize_pallas.rq_tokenize(
+            z_, cb_, commitment_weight=cfg.commitment_weight
+        ).sem_ids,
+        in_specs=(bsp, P()),
+        out_specs=bsp,
+    )
+    return call(z, cbs)
 
 
 def kmeans_prime(

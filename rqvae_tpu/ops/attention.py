@@ -100,19 +100,49 @@ def attend(
     from rqvae_tpu.ops import dispatch
 
     big_scores = q.shape[1] >= 256 and k.shape[1] >= 256
-    if dispatch.pallas_enabled() and big_scores:
+    if dispatch.pallas_enabled() and big_scores and _shardable(q, k_mask):
         from rqvae_tpu.ops import flash_attention as fa
+        from jax.sharding import PartitionSpec as P
+        from rqvae_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-        out = fa.flash_attention(
+        if k_mask is None:
+            k_mask = jnp.ones((q.shape[0], k.shape[1]), dtype=bool)
+        # Mosaic kernels are single-device programs: under a registered mesh
+        # the call is shard_mapped over batch ('data') and heads ('model' —
+        # the TP head sharding induced by the column-sharded qkv projections)
+        qs = P(DATA_AXIS, MODEL_AXIS, None, None)
+        call = dispatch.shard_over_batch(
+            lambda q_, k_, v_, m_: fa.flash_attention(
+                q_, k_, v_, k_mask=m_, causal=causal
+            ),
+            in_specs=(qs, qs, qs, P(DATA_AXIS, None)),
+            out_specs=qs,
+        )
+        out = call(
             q.transpose(0, 2, 1, 3),
             k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3),
-            k_mask=k_mask,
-            causal=causal,
+            k_mask,
         )
         return out.transpose(0, 2, 1, 3)
     mask = build_mask(q.shape[1], k.shape[1], causal=causal, k_mask=k_mask)
     return sdpa(q, k, v, mask)
+
+
+def _shardable(q: jax.Array, k_mask: Optional[jax.Array]) -> bool:
+    """Whether the flash kernel can be shard_mapped under the registered
+    mesh: batch divisible over 'data' and heads divisible over 'model'
+    (always true with no mesh; indivisible shapes take the jnp path, which
+    GSPMD partitions on its own)."""
+    from rqvae_tpu.ops import dispatch
+    from rqvae_tpu.parallel.mesh import DATA_AXIS
+
+    mesh = dispatch.execution_mesh()
+    if mesh is None or mesh.size == 1:
+        return True
+    b, _, h, _ = q.shape
+    return b % int(mesh.shape[DATA_AXIS]) == 0 and \
+        h % dispatch.model_axis_size() == 0
 
 
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:

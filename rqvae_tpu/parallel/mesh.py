@@ -91,14 +91,24 @@ def make_mesh(
 ) -> Mesh:
     """Mesh of (data, model) axes. Default: all devices on 'data', model=1
     (pure DP — matching the reference's capability envelope); pass e.g.
-    shape=(4, 2) for DP x TP."""
+    shape=(4, 2) for DP x TP.
+
+    Side effect: registers the mesh as the Pallas execution mesh
+    (ops.dispatch.set_execution_mesh) so kernel call sites shard_map over it
+    — Mosaic kernels are single-device programs that GSPMD cannot
+    auto-partition. Tests comparing sharded vs unsharded paths can clear it
+    with ``set_execution_mesh(None)``."""
+    from rqvae_tpu.ops import dispatch
+
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if shape is None:
         shape = (n, 1)
     assert int(np.prod(shape)) == n, f"mesh shape {shape} != {n} devices"
     arr = np.asarray(devices).reshape(shape)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    mesh = Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    dispatch.set_execution_mesh(mesh)
+    return mesh
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -274,6 +274,19 @@ def _prefix_rank(index: CorpusIndex, flat_prefix: jax.Array):
     return rank, ok
 
 
+def _rows_shardable(n_rows: int) -> bool:
+    """Whether the children-window kernel rows divide the registered mesh's
+    'data' axis (always true with no mesh; indivisible row counts take the
+    jnp window path, which GSPMD partitions on its own)."""
+    from rqvae_tpu.ops import dispatch
+    from rqvae_tpu.parallel.mesh import DATA_AXIS
+
+    mesh = dispatch.execution_mesh()
+    if mesh is None or mesh.size == 1:
+        return True
+    return n_rows % int(mesh.shape[DATA_AXIS]) == 0
+
+
 def children_mask(index: CorpusIndex, prefix: jax.Array) -> jax.Array:
     """Valid-next-token mask for every prefix: (..., L) int32 -> (..., K) bool.
 
@@ -313,13 +326,26 @@ def children_mask(index: CorpusIndex, prefix: jax.Array) -> jax.Array:
     # VMEM-resident table — XLA lowers the same read to a general gather,
     # measured 16 ms vs ~1 ms at the serving shape); the jnp path below is
     # the behavioral reference and the CPU/test implementation.
-    if pallas_enabled():
-        from rqvae_tpu.ops.children_window import children_window
+    if pallas_enabled() and _rows_shardable(n_rows):
+        from jax.sharding import PartitionSpec as P
 
-        child = children_window(
+        from rqvae_tpu.ops import dispatch
+        from rqvae_tpu.ops.children_window import children_window
+        from rqvae_tpu.parallel.mesh import DATA_AXIS
+
+        rsp = P(DATA_AXIS)
+        # shard_mapped over beam rows under a registered mesh (the prefix
+        # table broadcasts into every device's VMEM; rows split over 'data')
+        call = dispatch.shard_over_batch(
+            lambda t_, lo_, cnt_, key0_: children_window(
+                t_, lo_, cnt_, key0_, window=k, k_tokens=k
+            ),
+            in_specs=(P(), rsp, rsp, rsp),
+            out_specs=rsp,
+        )
+        child = call(
             index.sorted_keys[l], lo.astype(jnp.int32),
             (hi - lo).astype(jnp.int32), rank * radix,
-            window=k, k_tokens=k,
         )
     else:
         win_pos = lo[:, None] + jnp.arange(k, dtype=lo.dtype)    # (R, K)

@@ -37,6 +37,17 @@ class TemperatureScheduler:
         ))
 
 
+def constant_t_chunk_bound(it_start: int, step_size: int) -> int:
+    """Longest chunk starting at ``it_start`` whose iters all share
+    ``TemperatureScheduler.get_t``. The scheduler anneals ON iter
+    k*step_size-1, so the constant-t windows are [k*step-1, (k+1)*step-2]
+    — shifted one left of the log/eval cadence windows (round-2 advisor
+    finding: a plain ``step - it%step`` clamp runs each boundary iter at
+    the pre-anneal temperature). Used by the device-resident chunked loop
+    (train_rqvae), which samples t once per chunk."""
+    return ((it_start + 1) // step_size + 1) * step_size - 1 - it_start
+
+
 class ConstantTemperature:
     def __init__(self, t: float):
         self.t = float(t)

@@ -94,6 +94,8 @@ class DecoderTrainConfig:
     seed: int = 42
     prng_impl: str = "rbg"               # see train_rqvae.RqVaeTrainConfig
     log_every: int = 100
+    metrics_sink: str = "jsonl"          # see train_rqvae.RqVaeTrainConfig
+    tensorboard_dir: Optional[str] = None
     warmup_steps: int = 10000            # reference train_decoder.py:159
     eval_batches: int = 32
     generation_top_k: int = 32           # reference model.py:161
@@ -325,7 +327,10 @@ def run_generative_eval(
 
 
 def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
-    logger = logger or MetricsLogger(every=cfg.log_every)
+    logger = logger or MetricsLogger(
+        every=cfg.log_every, sink=cfg.metrics_sink,
+        tensorboard_dir=cfg.tensorboard_dir,
+    )
     # must precede the first JAX computation (corpus tokenization below) or
     # multi-host init becomes impossible — see mesh.maybe_init_distributed
     mesh_lib.maybe_init_distributed()

@@ -88,6 +88,10 @@ class RqVaeTrainConfig:
     # step at bs=256); 'threefry2x32' restores cross-backend reproducibility.
     prng_impl: str = "rbg"
     log_every: int = 100
+    # "jsonl" (default) or "tensorboard" (adds a TB event stream; JSONL stays
+    # on — the reference's opt-in swanlab analog, train_rqvae.py:102-106)
+    metrics_sink: str = "jsonl"
+    tensorboard_dir: Optional[str] = None
     gumbel_temperature: float = 0.2      # reference hardcodes t=0.2
     # opt-in exponential anneal (reference TemperatureScheduler, unused there)
     gumbel_anneal: bool = False
@@ -267,7 +271,10 @@ def id_diversity_metrics(params, model_cfg, corpus_x) -> dict:
 
 
 def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
-    logger = logger or MetricsLogger(every=cfg.log_every)
+    logger = logger or MetricsLogger(
+        every=cfg.log_every, sink=cfg.metrics_sink,
+        tensorboard_dir=cfg.tensorboard_dir,
+    )
     # must precede the first JAX computation or multi-host init becomes
     # impossible — see mesh.maybe_init_distributed
     mesh_lib.maybe_init_distributed()
@@ -403,14 +410,17 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
             # first chunk is a single step so the step-1 loss is logged,
             # matching the host-fed loop (and the reference's iter-0 log)
             cadences = (cfg.log_every, cfg.eval_every, cfg.save_model_every)
+            bounds = [c - it_start % c for c in cadences]
             if cfg.gumbel_anneal:
-                # temperature changes at anneal boundaries; t is constant
-                # within a chunk, so chunks must not straddle them
-                cadences += (cfg.gumbel_anneal_step_size,)
+                # t is sampled once per chunk, so a chunk may only span
+                # iters sharing get_t (see constant_t_chunk_bound)
+                bounds.append(temperature.constant_t_chunk_bound(
+                    it_start, cfg.gumbel_anneal_step_size
+                ))
             n = min(
                 spc,
                 start_iter + cfg.iterations - it_start,
-                *(c - it_start % c for c in cadences),
+                *bounds,
             ) if it_start != first_it else 1
             params, opt_state, metrics = get_chunk_fn(n)(
                 params, opt_state, corpus_dev, step_key,

@@ -24,3 +24,18 @@ def test_anneal_floor():
     for i in range(10):
         t = s.get_t(i)
     assert t == 0.5
+
+
+def test_constant_t_chunk_bound_never_straddles_an_anneal():
+    """Device-loop chunks sample t once; every iter in [it_start,
+    it_start+bound-1] must share get_t, and the bound must be maximal
+    (the next iter changes t while above the floor)."""
+    from rqvae_tpu.train.temperature import constant_t_chunk_bound
+
+    s = TemperatureScheduler(t0=1.0, min_t=1e-9, anneal_rate=1e-4, step_size=10)
+    for it_start in range(0, 35):
+        n = constant_t_chunk_bound(it_start, s.step_size)
+        assert 1 <= n <= s.step_size
+        ts = {s.get_t(i) for i in range(it_start, it_start + n)}
+        assert len(ts) == 1, (it_start, n)
+        assert s.get_t(it_start + n) != s.get_t(it_start), (it_start, n)
