@@ -1,76 +1,117 @@
-"""Assemble the QUALITY.md comparison table from the run logs.
+"""Assemble the QUALITY.md comparison tables from the run logs.
 
-Reads ours (JSONL train logs + run_eval output) and the reference driver's
-metrics.jsonl, prints markdown rows for the headline table.
+Aggregates multi-seed runs on both sides and keeps the two reference
+architectures separate (--arch custom = the reference's own pre-RMSNorm
+TransformerEncoderDecoder, reference modules/transformer/model.py:139-188,
+run via the pure-torch jagged shims; --arch nn = the torch nn.Transformer
+fallback that reference modules/model.py:87-95 silently substitutes under
+jagged_mode=False).
 
 Usage: python experiments/quality_report.py \
-    --ours-decoder out/ours_decoder.log --ours-test out/ours_test_eval.log \
-    --ref out/ref_quality/metrics.jsonl
+    --ours out/ours_decoder.log out/synthbeauty_s43/decoder.log ... \
+    --ours-test out/ours_test_eval.log \
+    --ref-custom out/ref_jagged_s0/metrics.jsonl out/ref_jagged_s1/... \
+    --ref-nn out/ref_quality/metrics.jsonl
 """
 from __future__ import annotations
 
 import argparse
 import json
+import math
 
 
-def _last_json_with(path, key):
-    hit = None
+def _json_lines(path):
     with open(path) as f:
         for line in f:
             line = line.strip()
             if not line.startswith("{"):
                 continue
             try:
-                rec = json.loads(line)
+                yield json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if key in rec:
-                hit = rec
+
+
+def _last_with(path, key, pred=lambda r: True):
+    hit = None
+    for rec in _json_lines(path):
+        if key in rec and pred(rec):
+            hit = rec
     return hit
+
+
+def ours_eval(path):
+    """Last full-eval record of one of our decoder train logs."""
+    return _last_with(path, "h@10_slice_:4")
+
+
+def ref_eval(path, split):
+    """Reference driver full-eval record: split 'eval' = end-of-training
+    (iter >= 0), 'test' = the eval-only rerun (iter == -1)."""
+    want = (lambda r: r.get("iter", 0) >= 0) if split == "eval" else (
+        lambda r: r.get("iter") == -1)
+    return _last_with(path, "h@10_slice_:4",
+                      lambda r: r.get("stage") == "decoder_full_eval" and want(r))
+
+
+def agg(recs, key):
+    vals = [r[key] for r in recs if r and key in r]
+    if not vals:
+        return "—"
+    if len(vals) == 1:
+        return f"{vals[0]:.4f}"
+    mean = sum(vals) / len(vals)
+    sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / (len(vals) - 1))
+    return f"{mean:.4f} ± {sd:.4f}"
+
+
+ROWS = [
+    ("h@1 (exact item)", "h@1_slice_:4"),
+    ("h@5", "h@5_slice_:4"),
+    ("h@10", "h@10_slice_:4"),
+    ("ndcg@10", "ndcg@10"),
+    ("h@10 prefix len 1", "h@10_slice_:1"),
+    ("h@10 prefix len 2", "h@10_slice_:2"),
+    ("h@10 prefix len 3", "h@10_slice_:3"),
+]
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--ours-decoder", default="out/ours_decoder.log")
-    p.add_argument("--ours-test", default="out/ours_test_eval.log")
-    p.add_argument("--ref", default="out/ref_quality/metrics.jsonl")
-    p.add_argument("--ref-iter", type=int, default=None,
-                   help="pick the ref full eval at this iter (default: last)")
+    p.add_argument("--ours", nargs="+", default=["out/ours_decoder.log"])
+    p.add_argument("--ours-test", nargs="+", default=["out/ours_test_eval.log"])
+    p.add_argument("--ref-custom", nargs="*", default=[])
+    p.add_argument("--ref-nn", nargs="*", default=[])
     args = p.parse_args(argv)
 
-    ours = _last_json_with(args.ours_decoder, "h@10_slice_:4")
-    ours_test = _last_json_with(args.ours_test, "h@10_slice_:4")
-    ref = None
-    with open(args.ref) as f:
-        for line in f:
-            rec = json.loads(line)
-            if rec.get("stage") == "decoder_full_eval" and (
-                args.ref_iter is None or rec.get("iter") == args.ref_iter
-            ):
-                ref = rec
+    ours = [ours_eval(f) for f in args.ours]
+    ours_test = [ours_eval(f) for f in args.ours_test]
+    cols = [(f"ours (TPU, n={len(ours)})", ours, ours_test)]
+    for name, paths in [("reference custom pre-RMSNorm", args.ref_custom),
+                        ("reference nn.Transformer", args.ref_nn)]:
+        if paths:
+            cols.append((f"{name} (n={len(paths)})",
+                         [ref_eval(f, "eval") for f in paths],
+                         [ref_eval(f, "test") for f in paths]))
 
-    def fmt(rec, key):
-        return f"{rec[key]:.4f}" if rec and key in rec else "—"
+    print("| metric | " + " | ".join(c[0] for c in cols) + " |")
+    print("|---" * (len(cols) + 1) + "|")
+    for label, key in ROWS:
+        cells = [agg(c[1], key) for c in cols]
+        print(f"| {label} | " + " | ".join(cells) + " |")
+    for label, key in [("test-split h@10", "h@10_slice_:4"),
+                       ("test-split ndcg@10", "ndcg@10")]:
+        cells = [agg(c[2], key) for c in cols]
+        print(f"| {label} | " + " | ".join(cells) + " |")
 
-    rows = [
-        ("h@1 (exact item)", "h@1_slice_:4"),
-        ("h@5", "h@5_slice_:4"),
-        ("h@10", "h@10_slice_:4"),
-        ("ndcg@10", "ndcg@10"),
-        ("h@10 prefix len 1", "h@10_slice_:1"),
-        ("h@10 prefix len 2", "h@10_slice_:2"),
-        ("h@10 prefix len 3", "h@10_slice_:3"),
-    ]
-    print("| metric | ours (TPU) | reference (CPU torch) |")
-    print("|---|---|---|")
-    for label, key in rows:
-        print(f"| {label} | {fmt(ours, key)} | {fmt(ref, key)} |")
-    if ours_test:
-        print(f"| test-split h@10 | {fmt(ours_test, 'h@10_slice_:4')} "
-              f"(ndcg@10 {fmt(ours_test, 'ndcg@10')}) | see --stage eval |")
-    if ref:
-        print(f"\nref eval: iter={ref.get('iter')} n={ref.get('n_eval')} "
-              f"wall={ref.get('eval_s', 0):.0f}s")
+    print("\nper-seed h@10 (eval / test):")
+    for name, evs, tests in cols:
+        pairs = []
+        for e, t in zip(evs, tests + [None] * (len(evs) - len(tests))):
+            ev = f"{e['h@10_slice_:4']:.4f}" if e else "—"
+            tv = f"{t['h@10_slice_:4']:.4f}" if t else "—"
+            pairs.append(f"{ev}/{tv}")
+        print(f"  {name}: {' '.join(pairs)}")
 
 
 if __name__ == "__main__":
