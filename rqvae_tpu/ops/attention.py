@@ -96,10 +96,17 @@ def attend(
     parity-locked by tests. The Pallas kernel tiles (batch, head) over its
     grid so it consumes the (B, H, N, Dh) layout; the transpose at this
     boundary is amortized by the kernel's win at the shapes that reach it.
+
+    Head dims below 64 stay on the jnp path: the kernel's VMEM operands are
+    Dh in the 128-wide lane dimension, so Dh=32 fills a quarter of every
+    vreg while XLA is free to fuse the narrow matmuls — and Dh<64 has never
+    been compiled on real hardware (only Dh=64 has; see docs/PERF.md).
     """
     from rqvae_tpu.ops import dispatch
 
-    big_scores = q.shape[1] >= 256 and k.shape[1] >= 256
+    big_scores = (
+        q.shape[1] >= 256 and k.shape[1] >= 256 and q.shape[-1] >= 64
+    )
     if dispatch.pallas_enabled() and big_scores and _shardable(q, k_mask):
         from rqvae_tpu.ops import flash_attention as fa
         from jax.sharding import PartitionSpec as P

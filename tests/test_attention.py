@@ -69,3 +69,29 @@ def test_bf16_path():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), _ref_sdpa(q, k, v), rtol=0.05, atol=0.05
     )
+
+
+def test_flash_dispatch_requires_head_dim_64(monkeypatch):
+    """Dh<64 must stay on the jnp path even when Pallas is forced: sub-64
+    head dims fill a quarter of each 128-wide vreg in the kernel and have
+    never been compiled on real hardware (ops/attention.py::attend guard)."""
+    from rqvae_tpu.ops import flash_attention as fa
+
+    monkeypatch.setenv("RQVAE_TPU_FORCE_PALLAS", "1")
+
+    def boom(*a, **k):
+        raise AssertionError("flash kernel reached")
+
+    monkeypatch.setattr(fa, "flash_attention", boom)
+
+    q, k, v = _qkv(b=2, h=2, nq=300, nk=300, dh=32)
+    out = A.attend(q, k, v)  # jnp path despite N >= 256
+    assert out.shape == q.shape
+
+    q64, k64, v64 = _qkv(b=2, h=2, nq=300, nk=300, dh=64)
+    try:
+        A.attend(q64, k64, v64)
+    except AssertionError as e:
+        assert "flash kernel reached" in str(e)
+    else:
+        raise AssertionError("Dh=64 at N>=256 should route to the flash kernel")
