@@ -40,9 +40,24 @@ def _last_with(path, key, pred=lambda r: True):
     return hit
 
 
-def ours_eval(path):
-    """Last full-eval record of one of our decoder train logs."""
-    return _last_with(path, "h@10_slice_:4")
+def ours_evals(path):
+    """Final full-eval record of EACH training run in one of our decoder
+    train logs (a file may hold several sequential seed runs — the step
+    counter resetting marks a new run)."""
+    runs, last_step, cur = [], None, None
+    for rec in _json_lines(path):
+        step = rec.get("step")
+        if step is not None and last_step is not None and step < last_step:
+            if cur:
+                runs.append(cur)
+            cur = None
+        if step is not None:
+            last_step = step
+        if "h@10_slice_:4" in rec:
+            cur = rec
+    if cur:
+        runs.append(cur)
+    return runs
 
 
 def ref_eval(path, split):
@@ -84,8 +99,8 @@ def main(argv=None):
     p.add_argument("--ref-nn", nargs="*", default=[])
     args = p.parse_args(argv)
 
-    ours = [ours_eval(f) for f in args.ours]
-    ours_test = [ours_eval(f) for f in args.ours_test]
+    ours = [r for f in args.ours for r in ours_evals(f)]
+    ours_test = [r for f in args.ours_test for r in ours_evals(f)]
     cols = [(f"ours (TPU, n={len(ours)})", ours, ours_test)]
     for name, paths in [("reference custom pre-RMSNorm", args.ref_custom),
                         ("reference nn.Transformer", args.ref_nn)]:

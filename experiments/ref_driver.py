@@ -249,7 +249,7 @@ def train_rqvae(args, items, log):
         hidden_dims=[512, 256, 128],
         codebook_size=args.codebook_size, codebook_kmeans_init=True,
         codebook_normalize=False, codebook_sim_vq=False,
-        codebook_mode=QuantizeForwardMode.ROTATION_TRICK,
+        codebook_mode=QuantizeForwardMode[args.rqvae_mode],
         n_layers=3, n_cat_features=0, commitment_weight=0.25,
     )
     opt = torch.optim.AdamW(model.parameters(), lr=args.rqvae_lr,
@@ -270,6 +270,7 @@ def train_rqvae(args, items, log):
         opt.step()
         if (it + 1) % 1000 == 0 or it == 0:
             log({"stage": "rqvae", "iter": it + 1,
+                 "mode": args.rqvae_mode,
                  "total_loss": float(out.loss),
                  "reconstruction_loss": float(out.reconstruction_loss),
                  "rqvae_loss": float(out.rqvae_loss),
@@ -461,6 +462,11 @@ def main(argv=None):
                    help="history length in items (20 beauty, 200 ml32m)")
     p.add_argument("--vae-embed-dim", type=int, default=32)
     p.add_argument("--rqvae-lr", type=float, default=5e-4)
+    p.add_argument("--rqvae-mode", default="ROTATION_TRICK",
+                   choices=["ROTATION_TRICK", "GUMBEL_SOFTMAX", "STE"],
+                   help="stage-1 estimator (reference default is gumbel, "
+                        "train_rqvae.py:47; the shipped gin configs use "
+                        "rotation)")
     p.add_argument("--attn-heads", type=int, default=8)
     p.add_argument("--dropout", type=float, default=0.3)
     p.add_argument("--rqvae-iters", type=int, default=40000)
