@@ -172,6 +172,11 @@ def main():
                     help="interpret-mode kernels (CPU numerics validation)")
     ap.add_argument("--small", action="store_true",
                     help="tiny shape for the CPU validation run")
+    ap.add_argument("--only", default=None,
+                    help="run a single profile (current/floor/floor_noexp/"
+                         "prescale/bf16exp/onescol/combined): one fresh "
+                         "process per kernel so a compile hang can't take "
+                         "the other measurements down with it")
     args = ap.parse_args()
 
     if args.small:
@@ -203,8 +208,11 @@ def main():
         print(f"{name:12s} {dt * 1e3:7.2f} ms  ({us_per_prog:5.2f} us/prog){err}")
         results[name] = dt * 1e3
 
+    def want(name):
+        return args.only is None or args.only == name
+
     # current production kernel
-    if not args.interpret:
+    if not args.interpret and want("current"):
         dt = timed(lambda q_: _flash_forward(q_, k, v, k_mask, causal=False,
                                              block_q=block_q,
                                              interpret=args.interpret),
@@ -214,6 +222,8 @@ def main():
     # floor kernels (shape-check only under --interpret: their outputs are
     # deliberately not attention)
     for name, with_exp in [("floor", True), ("floor_noexp", False)]:
+        if not want(name):
+            continue
         kern = functools.partial(_floor_kernel, with_exp=with_exp)
         fl = lambda q_: _call(kern, q_, k, v, mask_bias,
                               block_q=block_q, dh_out=dh,
@@ -241,6 +251,8 @@ def main():
         ("combined", dict(prescale=True, bf16exp=True, onescol=True)),
     ]
     for name, flags in combos:
+        if not want(name):
+            continue
         kern = functools.partial(_variant_kernel, **flags)
         vv = v_ones if flags["onescol"] else v
         qq = q_pre if flags["prescale"] else q

@@ -59,3 +59,56 @@ def load_pretrained(path: str) -> Tuple[dict, object]:
 
 def _cfg_fields(cls):
     return {f.name for f in dataclasses.fields(cls)}
+
+
+# ---------------------------------------------------------------------------
+# Hub publish / load (parity: reference PyTorchModelHubMixin on RqVae,
+# modules/rqvae.py:13,37, pushed from train_decoder.py:134-136). The airgapped
+# default stays the local directory above; these wrappers add the hub leg when
+# the environment has credentials + egress.
+# ---------------------------------------------------------------------------
+
+
+def push_to_hub(local_dir: str, repo_id: str, *, private: bool = True,
+                token: str | None = None) -> str:
+    """Upload a ``save_pretrained`` directory as a hub model repo.
+
+    Returns the repo URL. Raises a RuntimeError with a clear message when the
+    hub is unreachable (this build environment has zero egress — the local
+    directory under ``local_dir`` is always the source of truth).
+    """
+    try:
+        from huggingface_hub import HfApi
+    except ImportError as e:  # pragma: no cover - baked into this image
+        raise RuntimeError("huggingface_hub is not installed") from e
+    api = HfApi(token=token)
+    try:
+        api.create_repo(repo_id, private=private, exist_ok=True)
+        api.upload_folder(folder_path=local_dir, repo_id=repo_id)
+    except Exception as e:
+        raise RuntimeError(
+            f"hub push of {local_dir!r} to {repo_id!r} failed (no egress from "
+            f"an airgapped pod?): {e}"
+        ) from e
+    return f"https://huggingface.co/{repo_id}"
+
+
+def load_pretrained_auto(path_or_repo: str, *, token: str | None = None,
+                         revision: str | None = None):
+    """``load_pretrained`` accepting a local directory OR a hub repo id
+    (reference parity: ``RqVae.load_pretrained`` via PyTorchModelHubMixin
+    resolves both). Hub repos are snapshot-downloaded then read locally."""
+    if os.path.isdir(path_or_repo):
+        return load_pretrained(path_or_repo)
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("huggingface_hub is not installed") from e
+    try:
+        local = snapshot_download(path_or_repo, token=token, revision=revision)
+    except Exception as e:
+        raise RuntimeError(
+            f"{path_or_repo!r} is neither a local save_pretrained directory "
+            f"nor a reachable hub repo: {e}"
+        ) from e
+    return load_pretrained(local)

@@ -20,6 +20,7 @@ supports any dataset whose artifacts exist — the assert is not replicated.
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 import time
 from typing import Optional, Tuple
@@ -82,6 +83,12 @@ class DecoderTrainConfig:
     attn_layers: int = 4
     dataset_split: str = "beauty"
     train_data_subsample: bool = True
+    # reference train_decoder.py:40-41,134-136: optionally publish the frozen
+    # RQ-VAE to the HF hub after corpus precompute. The push is an exported
+    # save_pretrained directory (models/io.py) uploaded via huggingface_hub;
+    # it fails with a clear error on an airgapped pod.
+    push_vae_to_hf: bool = False
+    vae_hf_model_name: Optional[str] = None
     # ---- framework knobs ----
     # Length-bucketed gradient accumulation: sort each sampled batch by
     # history length, split into this many groups, pad each group only to
@@ -356,6 +363,15 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
     index = semids.precompute_corpus_ids(
         vae_params, vae_cfg, jnp.asarray(bundle.items.x)
     )
+    if cfg.push_vae_to_hf and jax.process_index() == 0:
+        from rqvae_tpu.models import io as model_io
+
+        export_dir = os.path.join(cfg.save_dir_root, "rqvae_export")
+        model_io.save_pretrained(export_dir, vae_params, vae_cfg)
+        url = model_io.push_to_hub(
+            export_dir, cfg.vae_hf_model_name or "rqvae-tpu-tokenizer"
+        )
+        print(f"pushed frozen RQ-VAE to {url}")
     max_dup = semids.max_duplicates(index)
     if max_dup >= cfg.vae_codebook_size:
         print(

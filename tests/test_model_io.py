@@ -40,3 +40,58 @@ def test_retrieval_roundtrip(tmp_path):
     params2, cfg2 = model_io.load_pretrained(str(tmp_path / "d"))
     assert cfg2 == cfg
     assert _trees_equal(params, params2)
+
+
+def test_push_to_hub_uploads_export_dir(tmp_path, monkeypatch):
+    """Hub publish wraps huggingface_hub (reference parity:
+    PyTorchModelHubMixin push, modules/rqvae.py:13,37)."""
+    import huggingface_hub
+
+    cfg = RqVaeConfig(input_dim=18, embed_dim=8, hidden_dims=(16,),
+                      codebook_size=16, n_layers=2, n_cat_feats=0)
+    params = rqvae.init(jax.random.PRNGKey(0), cfg)
+    export = str(tmp_path / "export")
+    model_io.save_pretrained(export, params, cfg)
+
+    calls = {}
+
+    class FakeApi:
+        def __init__(self, token=None):
+            calls["token"] = token
+
+        def create_repo(self, repo_id, private, exist_ok):
+            calls["create"] = (repo_id, private, exist_ok)
+
+        def upload_folder(self, folder_path, repo_id):
+            calls["upload"] = (folder_path, repo_id)
+
+    monkeypatch.setattr(huggingface_hub, "HfApi", FakeApi)
+    url = model_io.push_to_hub(export, "me/rqvae-test")
+    assert url == "https://huggingface.co/me/rqvae-test"
+    assert calls["create"] == ("me/rqvae-test", True, True)
+    assert calls["upload"] == (export, "me/rqvae-test")
+
+
+def test_load_pretrained_auto_hub_fallback(tmp_path, monkeypatch):
+    """A non-directory path is treated as a hub repo id and
+    snapshot-downloaded, then read as a local export directory."""
+    import huggingface_hub
+
+    cfg = RqVaeConfig(input_dim=18, embed_dim=8, hidden_dims=(16,),
+                      codebook_size=16, n_layers=2, n_cat_feats=0)
+    params = rqvae.init(jax.random.PRNGKey(0), cfg)
+    export = str(tmp_path / "snapshot")
+    model_io.save_pretrained(export, params, cfg)
+
+    def fake_snapshot(repo, token=None, revision=None):
+        assert repo == "me/rqvae-test"
+        return export
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download", fake_snapshot)
+    params2, cfg2 = model_io.load_pretrained_auto("me/rqvae-test")
+    assert cfg2 == cfg
+    assert _trees_equal(params, params2)
+
+    # local directories never touch the hub
+    params3, cfg3 = model_io.load_pretrained_auto(export)
+    assert cfg3 == cfg
