@@ -52,7 +52,7 @@ def _assert_manually_partitioned(jitted, *args):
 # flash attention
 # ---------------------------------------------------------------------------
 
-def _qkv(b=16, n=256, h=4, dh=8, seed=0):
+def _qkv(b=16, n=256, h=4, dh=64, seed=0):  # dh >= 64: attend()'s flash route requires it
     r = np.random.RandomState(seed)
     mk = lambda: jnp.asarray(r.randn(b, n, h, dh).astype(np.float32))
     lens = r.randint(n // 2, n + 1, size=(b,))
