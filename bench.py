@@ -45,6 +45,11 @@ PROFILES = {
     "amazon_bucketed": dict(n_hist=20, batch_size=256, n_items=12101,
                             buckets=2),
     "ml32m": dict(n_hist=200, batch_size=256, n_items=84432),
+    # length_buckets at the regime it was designed for: 801-token histories
+    # with heavy length skew, where padded-token waste is ~2-4x (the Amazon
+    # shape's bucketing loss does not predict this one; VERDICT r2 item 9)
+    "ml32m_bucketed": dict(n_hist=200, batch_size=256, n_items=84432,
+                           buckets=4),
     # serving: constrained beam search queries/s (k=32 beams, exhaustive
     # candidates — a superset of the reference's 200-sample protocol)
     "amazon_generate": dict(n_hist=20, batch_size=256, n_items=12101),
