@@ -57,6 +57,10 @@ PROFILES = {
     # candidates per beam (reference modules/model.py:163-165)
     "amazon_generate_sampled": dict(n_hist=20, batch_size=256,
                                     n_items=12101, n_candidates=200),
+    # long-context serving: 801-token histories against the full 84k-item
+    # ML-32M corpus (flash encoder + KV-cached decode + rank-chained prefix
+    # index at scale)
+    "ml32m_generate": dict(n_hist=200, batch_size=64, n_items=84432),
     # stage 1: RQ-VAE tokenizer training (reference rqvae_amazon.gin shape:
     # bs 64, 768-dim inputs, 3x256 codebooks, embed 32)
     "rqvae": dict(batch_size=64, input_dim=768),
