@@ -51,6 +51,25 @@ class ItemDataset:
         return xs[idx]
 
 
+def features_for_model(x: np.ndarray, input_dim: int) -> np.ndarray:
+    """Slice item features to the model's input width.
+
+    Reference parity: ``ItemData.__getitem__`` truncates features to the
+    768-dim text embedding (reference data/processed.py:76,153), silently
+    dropping trailing categorical one-hots (movielens genres). Here the
+    truncation is explicit at every RQ-VAE feed site: wider artifacts (e.g.
+    ml32m's 768 text + 6 genre dims) are sliced to ``input_dim``; narrower
+    ones are a hard error rather than a silent shape mismatch downstream.
+    """
+    width = x.shape[-1]
+    if width < input_dim:
+        raise ValueError(
+            f"item features are {width}-dim but the model expects "
+            f"{input_dim}; regenerate the artifacts or lower vae_input_dim"
+        )
+    return x[..., :input_dim] if width > input_dim else x
+
+
 @dataclasses.dataclass
 class SeqDataset:
     """User histories in item-ID space.

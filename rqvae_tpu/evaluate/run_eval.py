@@ -21,6 +21,7 @@ import sys
 
 import jax
 
+from rqvae_tpu.data import dataset as dataset_lib
 from rqvae_tpu.data import registry
 from rqvae_tpu.parallel import mesh as mesh_lib
 from rqvae_tpu.tokenizer import semids
@@ -64,7 +65,10 @@ def evaluate_checkpoint(
     model_cfg = cfg.retrieval_config(bundle.max_seq_len)
     vae_params, vae_cfg = train_decoder.load_frozen_rqvae(cfg)
     index = semids.precompute_corpus_ids(
-        vae_params, vae_cfg, jnp.asarray(bundle.items.x)
+        vae_params, vae_cfg,
+        jnp.asarray(
+            dataset_lib.features_for_model(bundle.items.x, vae_cfg.input_dim)
+        ),
     )
 
     params = retrieval.init(jax.random.PRNGKey(0), model_cfg)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rqvae_tpu.data import registry
-from rqvae_tpu.data.dataset import make_seq_batch
+from rqvae_tpu.data.dataset import features_for_model, make_seq_batch
 from rqvae_tpu.data.schemas import SeqBatch
 from rqvae_tpu.evaluate.metrics import TopKAccumulator, batch_hit_counts
 from rqvae_tpu.models import generation, retrieval
@@ -361,7 +361,8 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
 
     vae_params, vae_cfg = load_frozen_rqvae(cfg)
     index = semids.precompute_corpus_ids(
-        vae_params, vae_cfg, jnp.asarray(bundle.items.x)
+        vae_params, vae_cfg,
+        jnp.asarray(features_for_model(bundle.items.x, vae_cfg.input_dim)),
     )
     if cfg.push_vae_to_hf and jax.process_index() == 0:
         from rqvae_tpu.models import io as model_io

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rqvae_tpu.data import dataset as dataset_lib
 from rqvae_tpu.data import registry
 from rqvae_tpu.models import rqvae as rqvae_lib
 from rqvae_tpu.models.quantize import QuantizeForwardMode
@@ -296,9 +297,12 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
         },
     )
     items = bundle.items
-    train_x = items.filtered("train" if cfg.do_eval else "all")
-    eval_x = items.filtered("eval") if cfg.do_eval else None
-    index_x = items.filtered("all")
+    # reference parity: feed the model exactly its input_dim feature slice
+    # (ItemData truncates to [:768], reference data/processed.py:76,153)
+    _slice = lambda x: dataset_lib.features_for_model(x, cfg.vae_input_dim)
+    train_x = _slice(items.filtered("train" if cfg.do_eval else "all"))
+    eval_x = _slice(items.filtered("eval")) if cfg.do_eval else None
+    index_x = _slice(items.filtered("all"))
 
     local_bs = mesh_lib.process_local_batch_size(cfg.batch_size)
     device_mesh = mesh_lib.make_mesh(cfg.mesh_shape)

@@ -48,6 +48,9 @@ def test_ml32m_process_load_and_train(ml32m_raw, tmp_path):
     assert n_items > 0
     feat_dim = bundle.items.x.shape[1]
     assert feat_dim > 16  # text embedding + genre one-hots
+    # train at the TEXT width only: the model slices off the genre one-hots,
+    # like the reference's ItemData [:768] truncation (data/processed.py:76)
+    text_dim = 16
     assert bundle.train_seqs is not None and len(bundle.train_seqs) > 0
     assert bundle.eval_seqs is not None and len(bundle.eval_seqs) > 0
     # eval rows hold out the last item as the target
@@ -60,7 +63,7 @@ def test_ml32m_process_load_and_train(ml32m_raw, tmp_path):
     rq_cfg = from_dict(train_rqvae.RqVaeTrainConfig, dict(
         iterations=30, batch_size=8, learning_rate=3e-3,
         dataset="ML_32M", dataset_folder=str(ml32m_raw),
-        vae_input_dim=feat_dim, vae_hidden_dims=(16,), vae_embed_dim=8,
+        vae_input_dim=text_dim, vae_hidden_dims=(16,), vae_embed_dim=8,
         vae_codebook_size=8, vae_n_cat_feats=0, eval_every=30,
         save_model_every=30, save_dir_root=str(tmp_path / "rq"),
         log_every=10, kmeans_prime_items=n_items, eval_batches=1, seed=0,
@@ -80,7 +83,7 @@ def test_ml32m_process_load_and_train(ml32m_raw, tmp_path):
         iterations=10, batch_size=8, dataset="ML_32M",
         dataset_folder=str(ml32m_raw),
         pretrained_rqvae_path=str(tmp_path / "rq"),
-        vae_input_dim=feat_dim, vae_hidden_dims=(16,), vae_embed_dim=8,
+        vae_input_dim=text_dim, vae_hidden_dims=(16,), vae_embed_dim=8,
         vae_codebook_size=8, vae_n_cat_feats=0,
         decoder_embed_dim=16, attn_embed_dim=32, attn_heads=4, attn_layers=2,
         save_dir_root=str(tmp_path / "dec"), partial_eval_every=10,

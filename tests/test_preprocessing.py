@@ -145,3 +145,16 @@ def test_ml_rolling_window_stride():
     np.testing.assert_array_equal(ids[0], [0, 1, 2])
     np.testing.assert_array_equal(ids[1], [2, 0, 1])
     np.testing.assert_array_equal(ids[2], [1, -1, -1])
+
+
+def test_features_for_model_truncates_like_reference():
+    """Wider artifacts (text + genre one-hots) are sliced to the model's
+    input_dim (reference ItemData truncates to [:768], data/processed.py:76);
+    narrower artifacts are a hard error, not a downstream shape crash."""
+    from rqvae_tpu.data.dataset import features_for_model
+
+    x = np.arange(12, dtype=np.float32).reshape(2, 6)
+    np.testing.assert_array_equal(features_for_model(x, 4), x[:, :4])
+    assert features_for_model(x, 6) is x  # no copy when widths match
+    with pytest.raises(ValueError):
+        features_for_model(x, 8)
