@@ -1,5 +1,5 @@
 """Empirical VPU-floor measurement + pass-minimization variants for the
-flash-attention forward kernel (VERDICT r2 item 6).
+flash-attention forward AND backward kernels (VERDICT r2 item 6).
 
 The ML-32M shape (B=256, H=8, N=801, Dh=64, bf16) is VPU-bound: docs/PERF.md
 estimates a ~3-4 us/program floor from pass counting but round 2 never
@@ -17,6 +17,17 @@ MEASURED it. This script measures:
                  onescol    row-sum via a ones-column appended to v (MXU does
                             the (TQ,Nk) sum reduction, not the VPU)
                  combined   all three
+
+Backward profiles (production _flash_backward vs pass reductions; the bwd
+recomputes p per q-block, so the same N^2 VPU passes dominate):
+
+  bwd_current  the production backward kernel
+  bwd_outid    c = rowsum(dp*p) replaced by the identity
+               c = rowsum(g * out) with out recomputed via one extra e@v
+               matmul: two (TQ,Nk) VPU passes (dp*e multiply + N^2 rowsum)
+               traded for one MXU matmul + a (TQ,Dh) reduction
+  bwd_bf16exp  e on bf16 vregs straight into the dv/ds math
+  bwd_combined both
 
 Timing: chained-carry fori_loop inside one jit (axon dispatch rule: blocking
 on independent results lies), 20-iter warmup, carry folds out*1e-6 back into
@@ -37,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rqvae_tpu.ops.flash_attention import (
     NEG_INF,
+    _flash_backward,
     _flash_forward,
     default_block_q,
 )
@@ -111,6 +123,102 @@ def _variant_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
         )
     inv = jnp.where(m > 0.5 * NEG_INF, 1.0 / s, 0.0)
     out_ref[0, 0] = (out * inv).astype(out_ref.dtype)
+
+
+def _bwd_variant_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                        dq_ref, dk_ref, dv_ref, *,
+                        outid: bool, bf16exp: bool, block_q: int):
+    """Production backward math (ops/flash_attention._flash_bwd_kernel,
+    non-causal) with selectable pass reductions."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    g = g_ref[0, 0]
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale + bias_ref[0]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    if bf16exp:
+        e = jnp.exp((scores - m).astype(jnp.bfloat16))
+        s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+        eb = e
+    else:
+        e = jnp.exp(scores - m)
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        eb = e.astype(g.dtype)
+    inv = jnp.where(m > 0.5 * NEG_INF, 1.0 / s, 0.0)   # (TQ, 1)
+
+    dp = jax.lax.dot_general(                           # g v^T
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if outid:
+        # c = rowsum(dp * p) == rowsum(g * out): recompute out with one MXU
+        # matmul instead of a (TQ,Nk) multiply + N^2 VPU rowsum
+        out = jax.lax.dot_general(
+            eb, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv                                         # (TQ, Dh)
+        c = jnp.sum(g.astype(jnp.float32) * out, axis=-1, keepdims=True)
+    else:
+        c = jnp.sum(dp * e.astype(jnp.float32), axis=-1, keepdims=True) * inv
+    if bf16exp:
+        ds = (e * ((dp - c) * inv).astype(jnp.bfloat16)).astype(k.dtype)
+    else:
+        ds = (e * ((dp - c) * inv)).astype(k.dtype)
+
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dk_ref[0, 0] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    g_n = (g.astype(jnp.float32) * inv).astype(g.dtype)
+    dv_ref[0, 0] += jax.lax.dot_general(
+        eb.astype(g.dtype), g_n, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bwd_call(kernel, q, k, v, mask_bias, g, *, block_q, interpret=False):
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    pad_q = (-nq) % block_q
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    nqp = nq + pad_q
+    qkv_spec = pl.BlockSpec((1, 1, nk, dh), lambda b_, h_, i: (b_, h_, 0, 0),
+                            memory_space=pltpu.VMEM)
+    qblk_spec = pl.BlockSpec(
+        (1, 1, block_q, dh), lambda b_, h_, i: (b_, h_, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b, h, nqp // block_q),
+        in_specs=[qblk_spec, qkv_spec, qkv_spec,
+                  pl.BlockSpec((1, 1, nk), lambda b_, h_, i: (b_, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  qblk_spec],
+        out_specs=[qblk_spec, qkv_spec, qkv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, nqp, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nk, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nk, dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, mask_bias, g)
+    return dq[:, :, :nq], dk, dv
 
 
 def _call(kernel, q, k, v, mask_bias, *, block_q, dh_out, v_width=None,
@@ -267,6 +375,57 @@ def main():
             continue
         dt = timed(fn, qq, iters=args.iters)
         report(name, dt, out)
+
+    # ------------------------------------------------------------- backward
+    g = jax.random.normal(jax.random.PRNGKey(9), (b, h, n, dh), jnp.bfloat16)
+    bwd_ref = None
+    if any(want(x) for x in
+           ("bwd_current", "bwd_outid", "bwd_bf16exp", "bwd_combined")):
+        bwd_ref = _flash_backward(q, k, v, k_mask, g, causal=False,
+                                  block_q=block_q, interpret=args.interpret)
+
+    def bwd_report(name, dt, grads=None):
+        us_per_prog = dt / (b * h) * 1e6
+        err = ""
+        if grads is not None:
+            err = "  max|err|=" + "/".join(
+                f"{float(jnp.max(jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32)))):.2e}"
+                for a, r in zip(grads, bwd_ref))
+        print(f"{name:12s} {dt * 1e3:7.2f} ms  ({us_per_prog:5.2f} us/prog){err}")
+        results[name] = dt * 1e3
+
+    if want("bwd_current"):
+        if args.interpret:
+            print("bwd_current  runs (is the reference for bwd numerics)")
+        else:
+            dt = timed(lambda q_: _flash_backward(
+                q_, k, v, k_mask, g, causal=False, block_q=block_q,
+                interpret=args.interpret)[0].astype(q_.dtype),
+                q, iters=args.iters)
+            bwd_report("bwd_current", dt)
+
+    bwd_combos = [
+        ("bwd_outid", dict(outid=True, bf16exp=False)),
+        ("bwd_bf16exp", dict(outid=False, bf16exp=True)),
+        ("bwd_combined", dict(outid=True, bf16exp=True)),
+    ]
+    for name, flags in bwd_combos:
+        if not want(name):
+            continue
+        kern = functools.partial(_bwd_variant_kernel, block_q=block_q,
+                                 **flags)
+        fn = lambda q_: _bwd_call(kern, q_, k, v, mask_bias, g,
+                                  block_q=block_q, interpret=args.interpret)
+        grads = fn(q)
+        if args.interpret:
+            errs = "/".join(
+                f"{float(jnp.max(jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32)))):.2e}"
+                for a, r in zip(grads, bwd_ref))
+            print(f"{name:12s} max|err| dq/dk/dv = {errs}")
+            continue
+        dt = timed(lambda q_: fn(q_)[0].astype(q_.dtype), q,
+                   iters=args.iters)
+        bwd_report(name, dt, grads)
 
     print("\nsummary:", {k: round(v, 2) for k, v in results.items()})
 
