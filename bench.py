@@ -373,6 +373,24 @@ def _bench_one(profile: str, baselines: dict, baseline_path: str) -> dict:
     }
 
 
+def _device_preflight(timeout_s: int = 180) -> bool:
+    """Fail fast when the device is unreachable. A wedged axon terminal
+    blocks ``jax.devices()`` forever (see docs/PERF.md on the remote-compile
+    terminal); a subprocess probe with a timeout turns that into a clean
+    nonzero exit instead of an indefinite hang of the caller's pipeline."""
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 8)); "
+            "(x @ x).block_until_ready(); print('ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--profile", default="amazon", choices=sorted(PROFILES))
@@ -381,7 +399,16 @@ def main() -> None:
                          "machine-readable snapshot written to --out")
     ap.add_argument("--out", default="BENCH_full.json",
                     help="snapshot path for --all")
+    ap.add_argument("--no-preflight", action="store_true",
+                    help="skip the device-reachability probe")
     args = ap.parse_args()
+
+    if not args.no_preflight and not _device_preflight():
+        import sys
+
+        print("bench: device preflight timed out (wedged/unreachable "
+              "accelerator) — refusing to hang", file=sys.stderr)
+        sys.exit(3)
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"
