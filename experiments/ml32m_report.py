@@ -38,6 +38,23 @@ def _nearest(recs, step_key, target):
     return best
 
 
+def _window_mean(recs, step_key, target, half_width):
+    """Mean of total/per-position losses over records within +/-half_width.
+
+    Single-batch CE at ML-32M shapes is dominated by the batch's sequence-
+    length mix (p50 swings 60-240 tokens between logged steps), so point
+    losses are not comparable across frameworks; a windowed mean is.
+    """
+    win = [r for r in recs if abs(r[step_key] - target) <= half_width]
+    if not win:
+        return None
+    out = {"n": len(win),
+           "total_loss": sum(r["total_loss"] for r in win) / len(win)}
+    for i in range(4):
+        out[f"loss_{i}"] = sum(r[f"loss_{i}"] for r in win) / len(win)
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ours-rqvae", required=True)
@@ -45,6 +62,9 @@ def main(argv=None):
     p.add_argument("--ref", required=True)
     p.add_argument("--iters", type=int, nargs="+",
                    default=[600, 1400, 2200, 3000])
+    p.add_argument("--window", type=int, default=300,
+                   help="half-width (iters) of the smoothing window; "
+                        "0 = raw nearest-record values")
     args = p.parse_args(argv)
 
     ref = list(_json_lines(args.ref))
@@ -80,18 +100,31 @@ def main(argv=None):
     ours_dec = [r for r in _json_lines(args.ours_decoder)
                 if "total_loss" in r and "step" in r]
     ref_dec = [r for r in ref if r.get("stage") == "decoder"]
-    print("\nstage 2 loss trajectory (per-position CE, matched iters):\n")
+    if args.window:
+        print(f"\nstage 2 loss trajectory (per-position CE, mean over "
+              f"iter±{args.window} — single-batch losses swing with the "
+              f"batch's length mix):\n")
+    else:
+        print("\nstage 2 loss trajectory (per-position CE, matched iters):\n")
     hdr = "| iter | ours total | ref total | ours pos 0-3 | ref pos 0-3 |"
     print(hdr)
     print("|---" * 5 + "|")
     for it in args.iters:
-        o = _nearest(ours_dec, "step", it)
-        r = _nearest(ref_dec, "iter", it)
+        if args.window:
+            o = _window_mean(ours_dec, "step", it, args.window)
+            r = _window_mean(ref_dec, "iter", it, args.window)
+            label = (f"{it} (n={o['n']}/{r['n']})"
+                     if o is not None and r is not None else str(it))
+        else:
+            o = _nearest(ours_dec, "step", it)
+            r = _nearest(ref_dec, "iter", it)
+            label = (f"{it} (ours@{o['step']}, ref@{r['iter']})"
+                     if o is not None and r is not None else str(it))
         if o is None or r is None:
             continue
         od = "/".join(f"{o[f'loss_{i}']:.2f}" for i in range(4))
         rd = "/".join(f"{r[f'loss_{i}']:.2f}" for i in range(4))
-        print(f"| {it} (ours@{o['step']}, ref@{r['iter']}) "
+        print(f"| {label} "
               f"| {o['total_loss']:.3f} | {r['total_loss']:.3f} "
               f"| {od} | {rd} |")
 
