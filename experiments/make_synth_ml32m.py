@@ -61,7 +61,12 @@ def main(argv=None):
     pool_off = np.concatenate([[0], np.cumsum(pool_len)[:-1]])
     n = args.n_users * args.ratings_per_user
     u = np.repeat(np.arange(1, args.n_users + 1), args.ratings_per_user)
-    prefs = rng.integers(0, n_clusters, (args.n_users, 3))
+    # 3 DISTINCT preferred clusters per user (without replacement, matching
+    # the original per-user rng.choice(..., replace=False) semantics):
+    # argpartition of a random matrix = vectorized sampling w/o replacement
+    prefs = np.argpartition(
+        rng.random((args.n_users, n_clusters)), 2, axis=1
+    )[:, :3]
     c = np.where(
         rng.random(n) < 0.85,
         prefs[u - 1, rng.integers(0, 3, n)],

@@ -14,19 +14,8 @@ Usage: python experiments/ml32m_report.py \
 from __future__ import annotations
 
 import argparse
-import json
 
-
-def _json_lines(path):
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line.startswith("{"):
-                continue
-            try:
-                yield json.loads(line)
-            except json.JSONDecodeError:
-                continue
+from _logs import json_lines as _json_lines
 
 
 def _nearest(recs, step_key, target):

@@ -16,20 +16,10 @@ Usage: python experiments/quality_report.py \
 from __future__ import annotations
 
 import argparse
-import json
+import itertools
 import math
 
-
-def _json_lines(path):
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line.startswith("{"):
-                continue
-            try:
-                yield json.loads(line)
-            except json.JSONDecodeError:
-                continue
+from _logs import json_lines as _json_lines
 
 
 def _last_with(path, key, pred=lambda r: True):
@@ -122,7 +112,7 @@ def main(argv=None):
     print("\nper-seed h@10 (eval / test):")
     for name, evs, tests in cols:
         pairs = []
-        for e, t in zip(evs, tests + [None] * (len(evs) - len(tests))):
+        for e, t in itertools.zip_longest(evs, tests):
             ev = f"{e['h@10_slice_:4']:.4f}" if e else "—"
             tv = f"{t['h@10_slice_:4']:.4f}" if t else "—"
             pairs.append(f"{ev}/{tv}")

@@ -120,14 +120,10 @@ def _fused_shardable(res: jax.Array) -> bool:
     codebook configs fall back to the jnp path, which GSPMD partitions
     (distance matmul sharded over K, cross-shard argmin inserted)."""
     from rqvae_tpu.ops import dispatch
-    from rqvae_tpu.parallel.mesh import DATA_AXIS
 
     if dispatch.model_axis_size() > 1:
         return False
-    mesh = dispatch.execution_mesh()
-    if mesh is None or mesh.size == 1:
-        return True
-    return res.shape[0] % int(mesh.shape[DATA_AXIS]) == 0
+    return dispatch.divisible_over_data(res.shape[0])
 
 
 def _fused_train_quantize(params, cfg: RqVaeConfig, res: jax.Array) -> RqVaeOutput:

@@ -138,18 +138,10 @@ def attend(
 
 def _shardable(q: jax.Array, k_mask: Optional[jax.Array]) -> bool:
     """Whether the flash kernel can be shard_mapped under the registered
-    mesh: batch divisible over 'data' and heads divisible over 'model'
-    (always true with no mesh; indivisible shapes take the jnp path, which
-    GSPMD partitions on its own)."""
+    mesh: batch divisible over 'data' and heads divisible over 'model'."""
     from rqvae_tpu.ops import dispatch
-    from rqvae_tpu.parallel.mesh import DATA_AXIS
 
-    mesh = dispatch.execution_mesh()
-    if mesh is None or mesh.size == 1:
-        return True
-    b, _, h, _ = q.shape
-    return b % int(mesh.shape[DATA_AXIS]) == 0 and \
-        h % dispatch.model_axis_size() == 0
+    return dispatch.divisible_over_data(q.shape[0], heads=q.shape[2])
 
 
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:

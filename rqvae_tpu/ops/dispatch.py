@@ -7,6 +7,7 @@ plain-jnp reference implementations entirely (escape hatch for triage).
 """
 from __future__ import annotations
 
+import contextlib
 import os
 
 import jax
@@ -60,6 +61,37 @@ def set_execution_mesh(mesh) -> None:
 
 def execution_mesh():
     return _EXECUTION_MESH
+
+
+def divisible_over_data(n: int, heads=None) -> bool:
+    """Whether a batch/row count (and optionally a head count over 'model')
+    divides the registered mesh — the shard_map-wrapping precondition every
+    Pallas call site checks. True with no mesh or a 1-device mesh;
+    indivisible shapes take the jnp paths, which GSPMD partitions on its
+    own."""
+    from rqvae_tpu.parallel.mesh import DATA_AXIS
+
+    mesh = _EXECUTION_MESH
+    if mesh is None or mesh.size == 1:
+        return True
+    if n % int(mesh.shape[DATA_AXIS]) != 0:
+        return False
+    return heads is None or heads % model_axis_size() == 0
+
+
+@contextlib.contextmanager
+def local_execution():
+    """Temporarily clear the registered mesh so a process-local computation
+    (host-driven setup such as corpus tokenization, or host-0-only eval
+    work) dispatches Pallas kernels single-device instead of shard_map-ing
+    over a global mesh the current process cannot drive alone."""
+    global _EXECUTION_MESH
+    saved = _EXECUTION_MESH
+    _EXECUTION_MESH = None
+    try:
+        yield
+    finally:
+        _EXECUTION_MESH = saved
 
 
 def model_axis_size() -> int:

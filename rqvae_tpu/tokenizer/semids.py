@@ -188,7 +188,22 @@ def precompute_corpus_ids(
     def encode_chunk(xc):
         return rqvae_lib.encode_and_tokenize(params, cfg, xc)
 
-    sem_ids = jax.lax.map(encode_chunk, chunks).reshape(-1, cfg.n_layers)[:n]
+    def run():
+        return jax.lax.map(encode_chunk, chunks).reshape(-1, cfg.n_layers)[:n]
+
+    if jax.process_count() > 1:
+        # Multi-host: corpus tokenization is a host-driven setup step whose
+        # operands are process-local arrays — they cannot feed a global-mesh
+        # shard_map, and train_rqvae's diversity metrics run it on host 0
+        # ONLY (reference train_rqvae.py:223-239 rank-0 semantics). Clear
+        # the registered mesh so the Pallas call sites dispatch on this
+        # process's local device instead of the global mesh.
+        from rqvae_tpu.ops import dispatch
+
+        with dispatch.local_execution():
+            sem_ids = run()
+    else:
+        sem_ids = run()
     dedup = dedup_column(sem_ids, cfg.codebook_size)
     cached = jnp.concatenate([sem_ids, dedup[:, None]], axis=-1)
     return build_index(cached, cfg.codebook_size)
@@ -276,15 +291,10 @@ def _prefix_rank(index: CorpusIndex, flat_prefix: jax.Array):
 
 def _rows_shardable(n_rows: int) -> bool:
     """Whether the children-window kernel rows divide the registered mesh's
-    'data' axis (always true with no mesh; indivisible row counts take the
-    jnp window path, which GSPMD partitions on its own)."""
+    'data' axis."""
     from rqvae_tpu.ops import dispatch
-    from rqvae_tpu.parallel.mesh import DATA_AXIS
 
-    mesh = dispatch.execution_mesh()
-    if mesh is None or mesh.size == 1:
-        return True
-    return n_rows % int(mesh.shape[DATA_AXIS]) == 0
+    return dispatch.divisible_over_data(n_rows)
 
 
 def children_mask(index: CorpusIndex, prefix: jax.Array) -> jax.Array:

@@ -22,3 +22,15 @@ def cpu_devices():
     devs = jax.devices()
     assert len(devs) == 8, f"expected 8 virtual cpu devices, got {len(devs)}"
     return devs
+
+
+@pytest.fixture(autouse=True)
+def _reset_execution_mesh():
+    """Pallas dispatch routes by the globally-registered execution mesh
+    (ops/dispatch.py); make_mesh registers one as a side effect. Clear it
+    around every test so routing never depends on which test ran last."""
+    from rqvae_tpu.ops import dispatch
+
+    dispatch.set_execution_mesh(None)
+    yield
+    dispatch.set_execution_mesh(None)
