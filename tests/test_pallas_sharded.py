@@ -259,3 +259,38 @@ def test_children_mask_dp_mesh_matches_jnp(cpu_devices, forced_pallas,
     out = f(prefix_sh)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
     _assert_manually_partitioned(f, prefix_sh)
+
+
+# ---------------------------------------------------------------------------
+# multi-host: corpus tokenization must run process-locally (the host-0-only
+# diversity-metrics path cannot drive a global mesh alone)
+# ---------------------------------------------------------------------------
+
+def test_precompute_corpus_ids_multihost_skips_shard_map(
+        cpu_devices, forced_pallas, monkeypatch):
+    """With a registered mesh but >1 process, precompute_corpus_ids must
+    dispatch its kernels WITHOUT shard_map (train_rqvae runs it on host 0
+    only; process-local operands cannot feed a global-mesh shard_map).
+    jax.shard_map is booby-trapped to prove the route; the single-process
+    control asserts the trap itself works."""
+    params = rqvae_lib.init(jax.random.PRNGKey(4), BIG_CFG)
+    x = _big_x(b=48)
+    dispatch.set_execution_mesh(None)
+    ref = semids.precompute_corpus_ids(params, BIG_CFG, x, chunk_size=16)
+
+    def boom(*a, **k):
+        raise AssertionError("shard_map reached from a multi-host "
+                             "process-local corpus tokenization")
+
+    mesh_lib.make_mesh()
+    monkeypatch.setattr(jax, "shard_map", boom)
+
+    # control: single-process with a registered mesh DOES take shard_map
+    with pytest.raises(AssertionError, match="shard_map reached"):
+        semids.precompute_corpus_ids(params, BIG_CFG, x, chunk_size=16)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    out = semids.precompute_corpus_ids(params, BIG_CFG, x, chunk_size=16)
+    np.testing.assert_array_equal(
+        np.asarray(out.cached_ids), np.asarray(ref.cached_ids)
+    )
