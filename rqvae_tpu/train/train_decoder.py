@@ -97,6 +97,12 @@ class DecoderTrainConfig:
     # samples, mean-of-means with equal group sizes), ~1.4-2x fewer padded
     # tokens at Amazon-style length distributions. 1 = off. Single-process
     # only (group shapes are data-dependent; multi-host programs must match).
+    # MEASURED SLOWER at the shipped single-chip configs (docs/PERF.md:
+    # 4.5-5.6k vs 10.1k ex/s at the Amazon shape — per-program launch
+    # overhead and 64-128-row groups underfill one v5e); use only when the
+    # per-bucket batch still fills the chip, i.e. global batch >= ~1k rows
+    # per bucket, and profile before adopting (bench.py --profile
+    # ml32m_bucketed is the ready-made A/B).
     length_buckets: int = 1
     seed: int = 42
     prng_impl: str = "rbg"               # see train_rqvae.RqVaeTrainConfig
