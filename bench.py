@@ -44,12 +44,17 @@ PROFILES = {
     # (and an opt-in train config) for larger-batch / multi-chip shapes.
     "amazon_bucketed": dict(n_hist=20, batch_size=256, n_items=12101,
                             buckets=2),
-    "ml32m": dict(n_hist=200, batch_size=256, n_items=84432),
+    # ml32m profiles draw lengths from the REAL training distribution (the
+    # reference's random-crop subsample applied to stride-180 windows —
+    # length_dist="crop" below); r03 drew uniform [3,200], which OVERstates
+    # mean length (101.5 vs the real 67.7) and so UNDERstates bucketing's win
+    "ml32m": dict(n_hist=200, batch_size=256, n_items=84432,
+                  length_dist="crop"),
     # length_buckets at the regime it was designed for: 801-token histories
-    # with heavy length skew, where padded-token waste is ~2-4x (the Amazon
+    # with heavy length skew, where padded-token waste is ~3x (the Amazon
     # shape's bucketing loss does not predict this one; VERDICT r2 item 9)
     "ml32m_bucketed": dict(n_hist=200, batch_size=256, n_items=84432,
-                           buckets=4),
+                           buckets=4, length_dist="crop"),
     # serving: constrained beam search queries/s (k=32 beams, exhaustive
     # candidates — a superset of the reference's 200-sample protocol)
     "amazon_generate": dict(n_hist=20, batch_size=256, n_items=12101),
@@ -270,7 +275,20 @@ def run_profile(name: str) -> float:
     opt_state = opt.init(params)
 
     ids = rng.randint(0, n_items, (batch_size, n_hist)).astype(np.int32)
-    lengths = rng.randint(3, n_hist + 1, (batch_size,))
+    if p.get("length_dist") == "crop":
+        # the reference's random-crop subsample (data/processed.py:139-147,
+        # ours dataset._subsample_row) applied to a full n_hist-item window:
+        # start ~ U[0, len-3], crop end ~ U[start+3, start+len+1], tail
+        # truncated at the window end. At the ML-32M shape this simulation
+        # matches the measured artifact distribution (mean 67.2 vs 67.7,
+        # matching quantiles) — stride-180 windows are 92% full-length, so
+        # sampled lengths are crop-dominated and skew SHORT.
+        seqlen = n_hist + 1
+        start = rng.randint(0, seqlen - 2, (batch_size,))
+        end = start + rng.randint(3, n_hist + 2, (batch_size,))
+        lengths = np.minimum(end, seqlen) - start - 1
+    else:
+        lengths = rng.randint(3, n_hist + 1, (batch_size,))
     mask = np.arange(n_hist)[None, :] < lengths[:, None]
     ids = np.where(mask, ids, -1)
     ids_fut = rng.randint(0, n_items, (batch_size, 1)).astype(np.int32)
@@ -365,6 +383,7 @@ def _bench_one(profile: str, baselines: dict, baseline_path: str) -> dict:
         baselines[metric] = value
         with open(baseline_path, "w") as f:
             json.dump(baselines, f, indent=1)
+            f.write("\n")
     return {
         "metric": metric,
         "value": round(value, 2),
@@ -428,6 +447,7 @@ def main() -> None:
             records.append(rec)
         with open(args.out, "w") as f:
             json.dump(records, f, indent=1)
+            f.write("\n")
         return
 
     print(json.dumps(_bench_one(args.profile, baselines, baseline_path)))

@@ -76,8 +76,10 @@ def _floor_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, with_exp: bool):
     s = jnp.sum(e, axis=-1, keepdims=True)
     eb = e.astype(v_ref.dtype)                        # the pre-PV cast pass
     inv = jnp.where(m > 0.5 * NEG_INF, 1.0 / s, 0.0)
-    # touch v + produce the (TQ, Dh) output without an MXU op
-    out = eb[:, : q.shape[-1]].astype(jnp.float32) + v_ref[0, 0, : q.shape[0]]
+    # touch v + produce the (TQ, Dh) output without an MXU op (v's HBM->VMEM
+    # copy is driven by its BlockSpec, so reading one broadcast row keeps the
+    # memory traffic while staying shape-safe when TQ > Nk after q padding)
+    out = eb[:, : q.shape[-1]].astype(jnp.float32) + v_ref[0, 0, :1]
     out_ref[0, 0] = (out * inv).astype(out_ref.dtype)
 
 
@@ -256,19 +258,29 @@ def _call(kernel, q, k, v, mask_bias, *, block_q, dh_out, v_width=None,
 
 
 def timed(fn, q, *rest, iters, warmup=20):
-    """Chained-carry timing (see memory: axon-tpu-timing)."""
+    """Chained-carry timing (see memory: axon-tpu-timing).
+
+    ``rest`` operands MUST be passed here (not closed over in ``fn``):
+    closure arrays become constants inlined into the serialized HLO, and at
+    this shape (k/v/g = 210 MB each) the axon remote-compile request body
+    exceeds the tunnel's limit (HTTP 413) — the round-3 failure mode that
+    kept this table unpublished."""
 
     @jax.jit
-    def loop(q0, n):
+    def loop(q0, n, *r):
         def body(_, carry):
-            out = fn(carry, *rest)
+            out = fn(carry, *r)
             return carry + out * 1e-6
 
-        return jax.lax.fori_loop(0, n, body, q0)
+        # reduce to a scalar INSIDE the jit and force completion with a
+        # host fetch: on this axon backend block_until_ready on the full
+        # (B,H,N,Dh) carry returns early (measured 0.01 ms/iter for a ~9 ms
+        # kernel); float() of a scalar result cannot lie
+        return jax.lax.fori_loop(0, n, body, q0).sum()
 
-    jax.block_until_ready(loop(q, warmup))
+    float(loop(q, warmup, *rest))
     t0 = time.perf_counter()
-    jax.block_until_ready(loop(q, iters))
+    float(loop(q, iters, *rest))
     dt = (time.perf_counter() - t0) / iters
     return dt
 
@@ -321,10 +333,10 @@ def main():
 
     # current production kernel
     if not args.interpret and want("current"):
-        dt = timed(lambda q_: _flash_forward(q_, k, v, k_mask, causal=False,
-                                             block_q=block_q,
-                                             interpret=args.interpret),
-                   q, iters=args.iters)
+        dt = timed(lambda q_, k_, v_, m_: _flash_forward(
+                       q_, k_, v_, m_, causal=False, block_q=block_q,
+                       interpret=args.interpret),
+                   q, k, v, k_mask, iters=args.iters)
         report("current", dt)
 
     # floor kernels (shape-check only under --interpret: their outputs are
@@ -333,14 +345,14 @@ def main():
         if not want(name):
             continue
         kern = functools.partial(_floor_kernel, with_exp=with_exp)
-        fl = lambda q_: _call(kern, q_, k, v, mask_bias,
-                              block_q=block_q, dh_out=dh,
-                              interpret=args.interpret)
+        fl = lambda q_, k_, v_, mb_: _call(kern, q_, k_, v_, mb_,
+                                           block_q=block_q, dh_out=dh,
+                                           interpret=args.interpret)
         if args.interpret:
-            jax.block_until_ready(fl(q))
+            jax.block_until_ready(fl(q, k, v, mask_bias))
             print(f"{name:12s} runs (no numerics: floor kernels are not attention)")
             continue
-        dt = timed(fl, q, iters=args.iters)
+        dt = timed(fl, q, k, v, mask_bias, iters=args.iters)
         report(name, dt)
 
     # variants
@@ -364,16 +376,16 @@ def main():
         kern = functools.partial(_variant_kernel, **flags)
         vv = v_ones if flags["onescol"] else v
         qq = q_pre if flags["prescale"] else q
-        fn = lambda q_: _call(kern, q_, k, vv, mask_bias, block_q=block_q,
-                              dh_out=dh, v_width=vv.shape[-1],
-                              interpret=args.interpret)
-        out = fn(qq)
+        fn = lambda q_, k_, v_, mb_: _call(
+            kern, q_, k_, v_, mb_, block_q=block_q,
+            dh_out=dh, v_width=vv.shape[-1], interpret=args.interpret)
+        out = fn(qq, k, vv, mask_bias)
         if args.interpret:
             err = float(jnp.max(jnp.abs(
                 out.astype(jnp.float32) - ref.astype(jnp.float32))))
             print(f"{name:12s} max|err|={err:.2e}")
             continue
-        dt = timed(fn, qq, iters=args.iters)
+        dt = timed(fn, qq, k, vv, mask_bias, iters=args.iters)
         report(name, dt, out)
 
     # ------------------------------------------------------------- backward
@@ -398,10 +410,10 @@ def main():
         if args.interpret:
             print("bwd_current  runs (is the reference for bwd numerics)")
         else:
-            dt = timed(lambda q_: _flash_backward(
-                q_, k, v, k_mask, g, causal=False, block_q=block_q,
+            dt = timed(lambda q_, k_, v_, m_, g_: _flash_backward(
+                q_, k_, v_, m_, g_, causal=False, block_q=block_q,
                 interpret=args.interpret)[0].astype(q_.dtype),
-                q, iters=args.iters)
+                q, k, v, k_mask, g, iters=args.iters)
             bwd_report("bwd_current", dt)
 
     bwd_combos = [
@@ -414,17 +426,18 @@ def main():
             continue
         kern = functools.partial(_bwd_variant_kernel, block_q=block_q,
                                  **flags)
-        fn = lambda q_: _bwd_call(kern, q_, k, v, mask_bias, g,
-                                  block_q=block_q, interpret=args.interpret)
-        grads = fn(q)
+        fn = lambda q_, k_, v_, mb_, g_: _bwd_call(
+            kern, q_, k_, v_, mb_, g_,
+            block_q=block_q, interpret=args.interpret)
+        grads = fn(q, k, v, mask_bias, g)
         if args.interpret:
             errs = "/".join(
                 f"{float(jnp.max(jnp.abs(a.astype(jnp.float32) - r.astype(jnp.float32)))):.2e}"
                 for a, r in zip(grads, bwd_ref))
             print(f"{name:12s} max|err| dq/dk/dv = {errs}")
             continue
-        dt = timed(lambda q_: fn(q_)[0].astype(q_.dtype), q,
-                   iters=args.iters)
+        dt = timed(lambda q_, *r_: fn(q_, *r_)[0].astype(q_.dtype),
+                   q, k, v, mask_bias, g, iters=args.iters)
         bwd_report(name, dt, grads)
 
     print("\nsummary:", {k: round(v, 2) for k, v in results.items()})
