@@ -94,15 +94,19 @@ class DecoderTrainConfig:
     # history length, split into this many groups, pad each group only to
     # its own (grid-quantized) max, accumulate grads across groups, one
     # optimizer update. EXACTLY the same gradients as the flat step (same
-    # samples, mean-of-means with equal group sizes), ~1.4-2x fewer padded
-    # tokens at Amazon-style length distributions. 1 = off. Single-process
-    # only (group shapes are data-dependent; multi-host programs must match).
-    # MEASURED SLOWER at the shipped single-chip configs (docs/PERF.md:
-    # 4.5-5.6k vs 10.1k ex/s at the Amazon shape — per-program launch
-    # overhead and 64-128-row groups underfill one v5e); use only when the
-    # per-bucket batch still fills the chip, i.e. global batch >= ~1k rows
-    # per bucket, and profile before adopting (bench.py --profile
-    # ml32m_bucketed is the ready-made A/B).
+    # samples, mean-of-means with equal group sizes). 1 = off. Single-
+    # process only (group shapes are data-dependent; multi-host programs
+    # must match). The win is a function of sequence length x length skew
+    # x rows-per-bucket, all measured on one v5e at the REAL crop-length
+    # distributions (docs/PERF.md length-bucketing section):
+    #   * ML-32M 801-token shapes: 2.36x at bs 256 / 4 buckets
+    #     (844.9 -> 1,996.6 ex/s), 1.96x at bs 64 / 2 buckets
+    #     (916.9 -> 1,798.9) — ON by default in configs/decoder_ml32m.json.
+    #   * Amazon 81-token shapes: SLOWER (4.5-5.6k vs 10.1k ex/s at bs 256)
+    #     — short sequences leave too little padding to recover and 64-128-
+    #     row groups underfill the chip; left off in the Amazon configs.
+    # Rule of thumb: bucket long-sequence configs, keep >=32 rows per
+    # bucket; bench.py ml32m vs ml32m_bucketed is the ready-made A/B.
     length_buckets: int = 1
     seed: int = 42
     prng_impl: str = "rbg"               # see train_rqvae.RqVaeTrainConfig
