@@ -66,6 +66,12 @@ PROFILES = {
     # ML-32M corpus (flash encoder + KV-cached decode + rank-chained prefix
     # index at scale)
     "ml32m_generate": dict(n_hist=200, batch_size=64, n_items=84432),
+    # the same long-context serving program at a batch that fills the
+    # encoder (PERF.md's ml32m_generate section bounds bs 64 as
+    # encoder-underfilled; this row measures the scaling claim). HBM note:
+    # the cross-attention KV cache at B=256 x 801 tokens x 8 layers (bf16)
+    # is ~3.4 GB of the 16 GB chip.
+    "ml32m_generate_large": dict(n_hist=200, batch_size=256, n_items=84432),
     # stage 1: RQ-VAE tokenizer training (reference rqvae_amazon.gin shape:
     # bs 64, 768-dim inputs, 3x256 codebooks, embed 32)
     "rqvae": dict(batch_size=64, input_dim=768),
