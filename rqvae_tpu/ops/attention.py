@@ -88,9 +88,11 @@ def attend(
     Routes to the fused Pallas flash kernel on TPU (no HBM score matrix)
     when the score matrix is big enough for its HBM traffic to matter.
     Measured on one v5e chip (bf16, H=8, Dh=64, after the full-N-block +
-    pass-minimization kernel rework): B=256/N=801 flash fwd 13.0ms vs XLA
-    90ms; B=64/N=801 flash fwd 3.7ms vs XLA 19.2ms (the old 128-row-block
-    kernel LOST this shape — the low-occupancy guard it needed is gone);
+    pass-minimization kernel rework): B=256/N=801 flash fwd 8.6ms vs XLA
+    90ms (8.61/17.36 fwd/bwd on the current runtime — AT the empirically
+    measured VPU-pass floor, docs/PERF.md flash-floor table); B=64/N=801
+    flash fwd 3.7ms vs XLA 19.2ms (the old 128-row-block kernel LOST this
+    shape — the low-occupancy guard it needed is gone);
     B=256/N=81 flash ~2.4ms vs dense ~2.2ms, within run-to-run variance — dense
     keeps sub-256 shapes to skip the layout transpose. Both paths
     parity-locked by tests. The Pallas kernel tiles (batch, head) over its
