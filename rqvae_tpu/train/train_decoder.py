@@ -127,6 +127,8 @@ class DecoderTrainConfig:
     profile_start: int = 10
     profile_steps: int = 5
     auto_resume: bool = True             # resume from save_dir_root's latest
+    # (resume-extends semantics: `iterations` counts from the resume point,
+    # matching reference train_decoder.py:169-180 — see train_rqvae's note)
     debug_nans: bool = False             # jax_debug_nans for triage runs
 
     def vae_config(self) -> rqvae_lib.RqVaeConfig:

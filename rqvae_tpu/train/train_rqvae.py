@@ -119,7 +119,12 @@ class RqVaeTrainConfig:
     profile_steps: int = 5
     # failure recovery: resume from the latest checkpoint under
     # save_dir_root when no explicit pretrained path is given (the reference
-    # required hand-editing pretrained_rqvae_path after a crash)
+    # required hand-editing pretrained_rqvae_path after a crash).
+    # NOTE on semantics (parity with reference train_rqvae.py:135,
+    # train_decoder.py:169-180): `iterations` counts steps FROM THE RESUME
+    # POINT — rerunning a completed run trains `iterations` MORE steps; it
+    # does not no-op at the configured total. Point save_dir_root at a
+    # fresh directory (or set auto_resume=false) for a from-scratch run.
     auto_resume: bool = True
     debug_nans: bool = False             # jax_debug_nans for triage runs
 
