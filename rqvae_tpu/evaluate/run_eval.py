@@ -35,6 +35,7 @@ def evaluate_checkpoint(
     *,
     split: str = "eval",
     checkpoint: str | None = None,
+    step: int | None = None,
     max_users: int | None = None,
     seed: int = 0,
 ) -> dict:
@@ -74,7 +75,8 @@ def evaluate_checkpoint(
     params = retrieval.init(jax.random.PRNGKey(0), model_cfg)
     path = checkpoint or cfg.save_dir_root
     state, meta = ckpt_lib.restore(
-        path, target=jax.device_get({"params": params}), partial=True
+        path, step=step, target=jax.device_get({"params": params}),
+        partial=True,
     )
     params = state["params"]
     print(f"---Loaded decoder iter {meta['step']}---", file=sys.stderr)
@@ -105,6 +107,10 @@ def main(argv=None):
     p.add_argument("--split", default="eval", choices=["eval", "test"])
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint dir (default: config save_dir_root)")
+    p.add_argument("--step", type=int, default=None,
+                   help="exact checkpoint step to load (default: latest "
+                        "under the checkpoint dir) — trajectory evals over "
+                        "a training run's saved checkpoints")
     p.add_argument("--max-users", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("overrides", nargs="*", default=[])
@@ -114,7 +120,7 @@ def main(argv=None):
         train_decoder.DecoderTrainConfig, args.config, args.overrides
     )
     metrics = evaluate_checkpoint(
-        cfg, split=args.split, checkpoint=args.checkpoint,
+        cfg, split=args.split, checkpoint=args.checkpoint, step=args.step,
         max_users=args.max_users, seed=args.seed,
     )
     print(json.dumps(metrics))
