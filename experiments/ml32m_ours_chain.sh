@@ -14,7 +14,11 @@ echo "[ml32m_ours $(date +%H:%M:%S)] stage 1 start"
 python -m rqvae_tpu.train.train_rqvae configs/rqvae_synthml32m.json \
     > out/synthml32m/rqvae.log 2>&1
 echo "[ml32m_ours $(date +%H:%M:%S)] stage 2 matched (3k) start"
+# full_eval_every=1500 lands evals at 1500 AND 3000: the round-4 reference
+# seed (s1) runs a contended-host-completable 1500-iter decoder, so 1500
+# is the paired matched-budget eval point this round
 python -m rqvae_tpu.train.train_decoder configs/decoder_synthml32m.json \
+    full_eval_every=1500 \
     > out/synthml32m/decoder_matched.log 2>&1
 echo "[ml32m_ours $(date +%H:%M:%S)] stage 2 deep (25k) start"
 python -m rqvae_tpu.train.train_decoder configs/decoder_synthml32m_deep.json \
