@@ -152,7 +152,13 @@ def main():
 
         return jax.jit(step_fn, donate_argnums=(0, 1))
 
+    # control: variant() with all components enabled. Component deltas are
+    # computed against THIS, not against the production step, so each
+    # knockout measures only its component — the production-vs-variant
+    # implementation delta (microbatch/grad-accum wrapper, metrics
+    # plumbing) is reported separately as harness overhead.
     for name, kw in [
+        ("variant_full", dict()),
         ("loss_only", dict(do_bwd=False)),
         ("no_dropout", dict(loss_training=False)),
         ("no_opt", dict(do_opt=False)),
@@ -185,10 +191,15 @@ def main():
         attention.attend = real_attend
 
     full = results["full"]
+    control = results["variant_full"]
     print(f"\namazon step decomposition (ms/step, bs 256, {args.steps} steps):")
+    print(f"  {'full':12s} {full:6.2f}  (production step)")
+    print(f"  {'variant_full':12s} {control:6.2f}  "
+          f"(control; harness overhead ~{full - control:5.2f} ms)")
     for name, ms in results.items():
-        delta = "" if name == "full" else f"  (component ~{full - ms:5.2f} ms)"
-        print(f"  {name:10s} {ms:6.2f}{delta}")
+        if name in ("full", "variant_full"):
+            continue
+        print(f"  {name:12s} {ms:6.2f}  (component ~{control - ms:5.2f} ms)")
 
 
 if __name__ == "__main__":

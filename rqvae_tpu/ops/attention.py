@@ -103,8 +103,49 @@ def attend(
     Dh in the 128-wide lane dimension, so Dh=32 fills a quarter of every
     vreg while XLA is free to fuse the narrow matmuls — and Dh<64 has never
     been compiled on real hardware (only Dh=64 has; see docs/PERF.md).
+
+    Short shapes (the Amazon 81-token train step) stay dense BY MEASUREMENT,
+    not by default: the round-5 short-N Pallas variant
+    (flash_attention.flash_attention_small — fused (batch, head) groups,
+    whole score tile VMEM-resident) ties dense exactly on forward (0.72 ms
+    vs 0.72 ms per call, 50-step chained loops, B=256/N=81/H=8/Dh=64 bf16,
+    one v5e) and loses backward (2.45 ms vs 1.53 ms): at this shape both
+    paths sit at the MXU tiny-matmul latency floor (2 x B*H (88,64)@(64,81)
+    matmuls ~0.39 ms fwd), which HBM-traffic arguments do not move — see
+    docs/PERF.md "short-N attention" section. RQVAE_TPU_SHORT_FLASH=1
+    routes short self-attention through the kernel anyway (the switch the
+    measurement itself uses).
     """
+    import os
+
     from rqvae_tpu.ops import dispatch
+
+    short_scores = (
+        q.shape[1] < 256 and k.shape[1] < 256 and q.shape[-1] >= 64
+        and os.environ.get("RQVAE_TPU_SHORT_FLASH", "0") == "1"
+    )
+    if dispatch.pallas_enabled() and short_scores and _shardable(q, k_mask):
+        from rqvae_tpu.ops import flash_attention as fa
+        from jax.sharding import PartitionSpec as P
+        from rqvae_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        if k_mask is None:
+            k_mask = jnp.ones((q.shape[0], k.shape[1]), dtype=bool)
+        qs = P(DATA_AXIS, MODEL_AXIS, None, None)
+        call = dispatch.shard_over_batch(
+            lambda q_, k_, v_, m_: fa.flash_attention_small(
+                q_, k_, v_, k_mask=m_, causal=causal
+            ),
+            in_specs=(qs, qs, qs, P(DATA_AXIS, None)),
+            out_specs=qs,
+        )
+        out = call(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            k_mask,
+        )
+        return out.transpose(0, 2, 1, 3)
 
     big_scores = (
         q.shape[1] >= 256 and k.shape[1] >= 256 and q.shape[-1] >= 64

@@ -252,6 +252,225 @@ def _flash_bwd(causal, block_q, interpret, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Short-N variant: whole score tile VMEM-resident, G (batch, head) pairs fused
+# per program
+# ---------------------------------------------------------------------------
+# The long-N kernel's grid is (B, H, Nq/block) — at short sequences (Amazon:
+# 81 tokens) that is B*H tiny programs whose per-program launch/fetch overhead
+# swamps the math (measured round 3: flash 2.4 ms vs dense 2.2 ms at
+# B=256/N=81 — a tie, so dense kept the shape). Dense attention then costs the
+# Amazon train step 13.7 ms of fp32 (B,H,N,N) HBM round-trips (54% of the
+# step, docs/PERF.md knockout table). This variant removes the per-program
+# overhead instead: inputs flatten to (B*H, N, Dh), each program consumes G
+# rows at once with batched dot_generals, and the whole (G, Nq, Nk) score
+# tile lives in VMEM — no HBM score matrix, ~G× fewer programs. The backward
+# is one-shot per program (each program owns its full q AND k extent), so
+# unlike the long-N kernel there is no cross-program dk/dv accumulation.
+
+
+def _flash_small_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
+                        causal: bool):
+    q = q_ref[...]                               # (G, Nqp, Dh)
+    k = k_ref[...]                               # (G, Nk, Dh)
+    v = v_ref[...]
+    scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale + bias_ref[...]                    # (G, Nqp, Nk) fp32
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+        scores = jnp.where(cols <= rows, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                            # (G, Nqp, Dh)
+    inv = jnp.where(m > 0.5 * NEG_INF, 1.0 / s, 0.0)
+    out_ref[...] = (out * inv).astype(out_ref.dtype)
+
+
+def _flash_small_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                            dq_ref, dk_ref, dv_ref, *, causal: bool):
+    """One-shot backward (same pass-minimized algebra as the long-N kernel's
+    docstring): padded q rows carry zero cotangent, so their ds rows are zero
+    and dk/dv stay clean without any explicit q-validity mask."""
+    q = q_ref[...]                               # (G, Nqp, Dh)
+    k = k_ref[...]
+    v = v_ref[...]
+    g = g_ref[...]
+    scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale + bias_ref[...]
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+        scores = jnp.where(cols <= rows, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)                      # (G, Nqp, Nk) unnormalized
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    inv = jnp.where(m > 0.5 * NEG_INF, 1.0 / s, 0.0)
+
+    dp = jax.lax.dot_general(                    # g v^T, batched over G
+        g, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    c = jnp.sum(dp * e, axis=-1, keepdims=True) * inv
+    ds = (e * ((dp - c) * inv)).astype(k.dtype)  # (G, Nqp, Nk)
+
+    dq_ref[...] = jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dk_ref[...] = jax.lax.dot_general(           # ds^T q, batched over G
+        ds, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    g_n = (g.astype(jnp.float32) * inv).astype(g.dtype)
+    dv_ref[...] = jax.lax.dot_general(           # p^T g = e^T (g * inv)
+        e.astype(g.dtype), g_n, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def default_group(bh: int, nq: int, nk: int, dh: int) -> int:
+    """Largest power-of-two group of (batch, head) rows per program that
+    divides B*H and keeps the program's working set (q/k/v/out + two fp32
+    (Nqp, Nk) tiles) within a ~4 MB VMEM budget."""
+    nqp = -(-max(nq, 8) // 8) * 8
+    per_row = 4 * nqp * dh * 4 + 2 * nqp * max(nk, 128) * 4
+    g = max(1, (4 * 1024 * 1024) // per_row)
+    g = 1 << (g.bit_length() - 1)  # floor to a power of two (measured: G=16
+    while bh % g:                  # beats the G=2 a raw divisor walk picks)
+        g //= 2
+    return g
+
+
+def _small_specs(g: int, nqp: int, nk: int, dh: int):
+    row = lambda i: (i, 0, 0)
+    qspec = pl.BlockSpec((g, nqp, dh), row, memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((g, nk, dh), row, memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((g, 1, nk), row, memory_space=pltpu.VMEM)
+    return qspec, kspec, bspec
+
+
+def _flash_small_forward(q, k, v, k_mask, *, causal: bool, interpret: bool):
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    bh = b * h
+    g = default_group(bh, nq, nk, dh)
+    nqp = -(-max(nq, 8) // 8) * 8
+    qf = q.reshape(bh, nq, dh)
+    if nqp != nq:
+        qf = jnp.pad(qf, ((0, 0), (0, nqp - nq), (0, 0)))
+    kf = k.reshape(bh, nk, dh)
+    vf = v.reshape(bh, nk, dh)
+    bias = jnp.where(k_mask, 0.0, NEG_INF).astype(jnp.float32)  # (B, Nk)
+    bias = jnp.broadcast_to(bias[:, None, :], (b, h, nk)).reshape(bh, 1, nk)
+
+    qspec, kspec, bspec = _small_specs(g, nqp, nk, dh)
+    out = pl.pallas_call(
+        functools.partial(_flash_small_kernel, causal=causal),
+        grid=(bh // g,),
+        in_specs=[qspec, kspec, kspec, bspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((bh, nqp, dh), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * nqp * nk * dh,
+            bytes_accessed=2 * bh * (2 * nqp * dh + 2 * nk * dh) + 4 * bh * nk,
+            transcendentals=bh * nqp * nk,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, bias)
+    return out[:, :nq].reshape(b, h, nq, dh)
+
+
+def _flash_small_backward(q, k, v, k_mask, g_out, *, causal: bool,
+                          interpret: bool):
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    bh = b * h
+    g = default_group(bh, nq, nk, dh)
+    nqp = -(-max(nq, 8) // 8) * 8
+    qf = q.reshape(bh, nq, dh)
+    gf = g_out.reshape(bh, nq, dh)
+    if nqp != nq:
+        qf = jnp.pad(qf, ((0, 0), (0, nqp - nq), (0, 0)))
+        gf = jnp.pad(gf, ((0, 0), (0, nqp - nq), (0, 0)))
+    kf = k.reshape(bh, nk, dh)
+    vf = v.reshape(bh, nk, dh)
+    bias = jnp.where(k_mask, 0.0, NEG_INF).astype(jnp.float32)
+    bias = jnp.broadcast_to(bias[:, None, :], (b, h, nk)).reshape(bh, 1, nk)
+
+    qspec, kspec, bspec = _small_specs(g, nqp, nk, dh)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_small_bwd_kernel, causal=causal),
+        grid=(bh // g,),
+        in_specs=[qspec, kspec, kspec, bspec, qspec],
+        out_specs=[qspec, kspec, kspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nqp, dh), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nk, dh), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nk, dh), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * nqp * nk * dh,
+            bytes_accessed=2 * bh * (4 * nqp * dh + 4 * nk * dh),
+            transcendentals=bh * nqp * nk,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, bias, gf)
+    return (
+        dq[:, :nq].reshape(b, h, nq, dh).astype(q.dtype),
+        dk.reshape(b, h, nk, dh).astype(k.dtype),
+        dv.reshape(b, h, nk, dh).astype(v.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_small(q, k, v, k_mask, causal, interpret):
+    return _flash_small_forward(q, k, v, k_mask, causal=causal,
+                                interpret=interpret)
+
+
+def _flash_small_fwd(q, k, v, k_mask, causal, interpret):
+    out = _flash_small_forward(q, k, v, k_mask, causal=causal,
+                               interpret=interpret)
+    return out, (q, k, v, k_mask)
+
+
+def _flash_small_bwd(causal, interpret, res, g):
+    q, k, v, k_mask = res
+    dq, dk, dv = _flash_small_backward(q, k, v, k_mask, g, causal=causal,
+                                       interpret=interpret)
+    return (dq, dk, dv, None)
+
+
+_flash_small.defvjp(_flash_small_fwd, _flash_small_bwd)
+
+
+def flash_attention_small(
+    q: jax.Array,               # (B, H, Nq, Dh)
+    k: jax.Array,               # (B, H, Nk, Dh)
+    v: jax.Array,               # (B, H, Nk, Dh)
+    *,
+    k_mask: jax.Array | None = None,  # (B, Nk) bool; None = all valid
+    causal: bool = False,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Short-sequence fused attention (Nq, Nk ≲ 256); differentiable."""
+    if interpret is None:
+        from rqvae_tpu.ops.dispatch import use_interpret
+
+        interpret = use_interpret()
+    if k_mask is None:
+        k_mask = jnp.ones((q.shape[0], k.shape[2]), dtype=bool)
+    return _flash_small(q, k, v, k_mask, causal, interpret)
+
+
 def default_block_q(nq: int, nk: int) -> int:
     """Largest q-block whose fp32 score matrix stays within a ~3 MB VMEM
     budget, 128-aligned. Bigger blocks amortize per-program overhead and the

@@ -159,6 +159,16 @@ class DecoderTrainConfig:
         )
 
 
+
+def _every(it: int, interval: int) -> bool:
+    """True on steps where a periodic action (log/eval/save) fires.
+
+    interval <= 0 disables the action entirely (the reference's gin configs
+    always use positive intervals; 0 is this framework's explicit "off",
+    e.g. partial_eval_every=0 on a run that only wants full beam evals).
+    """
+    return interval > 0 and (it + 1) % interval == 0
+
 def debug_metrics(seq_mask: np.ndarray, prefix: str, token_scale: int = 1) -> dict:
     """Sequence-length quantiles (reference modules/utils.py:65-78; the
     reference measures token-space lengths — item lengths x sem_id_dim —
@@ -527,7 +537,7 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
             )
         examples_seen += accum * cfg.batch_size
 
-        if (it + 1) % cfg.log_every == 0 or it == start_iter:
+        if _every(it, cfg.log_every) or it == start_iter:
             m = jax.device_get(metrics)
             loss_d = m.pop("loss_d")
             m.update({f"loss_{d}": loss_d[d] for d in range(sem_dim)})
@@ -542,7 +552,7 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
         # so losses/hit counts come back as replicated scalars identical on
         # all hosts — multi-host eval needs no separate reduction path.
         n_eval_rows = len(bundle.eval_seqs) if bundle.eval_seqs is not None else 0
-        if n_eval_rows and ((it + 1) % cfg.partial_eval_every == 0 or last):
+        if n_eval_rows and (_every(it, cfg.partial_eval_every) or last):
             losses = []
             eval_mask = None
             n_batches = min(cfg.eval_batches,
@@ -569,7 +579,7 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
                 force=True,
             )
 
-        if n_eval_rows and ((it + 1) % cfg.full_eval_every == 0 or last):
+        if n_eval_rows and (_every(it, cfg.full_eval_every) or last):
             rng, eval_key = jax.random.split(rng)
             logger.log(
                 it + 1,
@@ -584,7 +594,7 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
 
         # every process calls save (orbax synchronizes; process 0 writes —
         # see checkpoint.save)
-        if (it + 1) % cfg.save_model_every == 0 or last:
+        if _every(it, cfg.save_model_every) or last:
             ckpt_lib.save(
                 cfg.save_dir_root,
                 it,

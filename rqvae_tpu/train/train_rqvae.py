@@ -145,6 +145,16 @@ class RqVaeTrainConfig:
         )
 
 
+
+def _every(it: int, interval: int) -> bool:
+    """True on steps where a periodic action (log/eval/save) fires.
+
+    interval <= 0 disables the action entirely (the reference's gin configs
+    always use positive intervals; 0 is this framework's explicit "off",
+    e.g. partial_eval_every=0 on a run that only wants full beam evals).
+    """
+    return interval > 0 and (it + 1) % interval == 0
+
 def make_train_step(model_cfg, opt, accum, compute_dtype):
     """One jit step: (params, opt_state, x(accum, B, D), rng, gumbel_t) ->
     updated. gumbel_t is a traced scalar so an annealing schedule never
@@ -451,7 +461,7 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
             it = it_start
         examples_seen += (it - it_start + 1) * accum * cfg.batch_size
 
-        if (it + 1) % cfg.log_every == 0 or it_start == first_it:
+        if _every(it, cfg.log_every) or it_start == first_it:
             m = jax.device_get(metrics)
             embs = m.pop("embs_norm_mean")
             m.update({f"emb_avg_norm_{i}": embs[i] for i in range(len(embs))})
@@ -466,7 +476,7 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
         # come back as replicated scalars identical on every host, so
         # multi-host eval needs no separate reduction path
         if cfg.do_eval and eval_x.shape[0] and (
-            (it + 1) % cfg.eval_every == 0 or last
+            _every(it, cfg.eval_every) or last
         ):
             losses = []
             n_eval_rows = eval_x.shape[0]
@@ -508,7 +518,7 @@ def train(cfg: RqVaeTrainConfig, *, logger: Optional[MetricsLogger] = None):
 
         # every process calls save (orbax synchronizes; process 0 writes —
         # see checkpoint.save)
-        if (it + 1) % cfg.save_model_every == 0 or last:
+        if _every(it, cfg.save_model_every) or last:
             ckpt_lib.save(
                 cfg.save_dir_root,
                 it,

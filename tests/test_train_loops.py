@@ -256,3 +256,14 @@ def test_run_eval_cli_on_test_split(trained_rqvae, tmp_path, capsys):
     assert 0 < metrics["n_users"] <= 24
     assert "h@10_slice_:4" in metrics and "ndcg@10" in metrics
     assert 0.0 <= metrics["h@10_slice_:4"] <= 1.0
+
+
+def test_every_interval_zero_disables():
+    """interval <= 0 means "never fire" (a run that only wants full beam
+    evals sets partial_eval_every=0; round 5 this raised ZeroDivisionError)."""
+    from rqvae_tpu.train.train_decoder import _every
+
+    assert _every(9, 10)
+    assert not _every(8, 10)
+    assert not any(_every(it, 0) for it in range(5))
+    assert not any(_every(it, -1) for it in range(5))
