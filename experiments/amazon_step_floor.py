@@ -1,18 +1,21 @@
 """Decompose the Amazon-shape decoder train step (PERF.md bound table row 1).
 
-The per-profile bound table puts amazon train at 29% of its matmul-only
-bound (25.4 ms/step vs 7.3 ms for 1.44 TFLOP fwd+bwd). Attention is NOT
-the slack (dense ~2.2 ms at B=256/N=81, ops/attention.py docstring), so
-this instrument knocks out one step component at a time to localize the
-other ~18 ms, the same methodology as experiments/flash_floor.py:
+This instrument knocks out one step component at a time to localize where
+the Amazon-shape step's time goes (its round-4 run produced the PERF.md
+knockout table: attention 54% of the step — which round 5 then measured
+to be AT its MXU tiny-matmul latency floor, PERF.md short-N section):
 
-  full        the real train step (tokenize -> fwd -> bwd -> AdamW)
-  loss_only   value_and_grad replaced by loss only (no backward, no opt)
-  no_dropout  training=False forward + backward (PRNG/dropout removed)
-  no_attn     attend() monkeypatched to identity (attention + its bwd out)
-  no_tok      tokenize_sequences hoisted out of the step (gather cost)
-  no_opt      grads computed, optimizer update skipped
-  fwd_nograd  plain forward, inference mode (serving-style floor)
+  full          the real train step (tokenize -> fwd -> bwd -> AdamW)
+  variant_full  the reimplemented step with ALL components on — the
+                CONTROL the knockouts are differenced against, so each
+                component delta excludes the production-vs-variant
+                harness gap (microbatch wrapper, metrics plumbing),
+                which is reported separately as full - variant_full
+  loss_only     loss only (no backward, no optimizer)
+  no_dropout    training=False forward + backward (PRNG/dropout removed)
+  no_attn       attend() monkeypatched to identity (attention + bwd out)
+  no_tok        tokenize_sequences hoisted out of the step (gather cost)
+  no_opt        grads computed, optimizer update skipped
 
 Timing: donated chained state, 20 warmup steps, fetch-forced completion
 (BASELINE.md protocol). Run on the real chip: python
