@@ -143,6 +143,11 @@ def main(argv=None):
     out = movielens.process(
         args.root, "ml32m", max_seq_len=200,
         encode_fn=structured_title_encoder(),
+        # a generator run explicitly asks for fresh artifacts; without this
+        # process() silently reuses an existing processed/ dir and the
+        # regenerated raw CSVs never reach the .npz (bit us in round 5: a
+        # whole paired rerun consumed the previous corpus realization)
+        force=True,
     )
     z = np.load(os.path.join(out, "items.npz"))
     s = np.load(os.path.join(out, "seqs_train.npz"))
