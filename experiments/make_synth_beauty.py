@@ -158,13 +158,15 @@ def main(argv=None):
     p.add_argument("--n-items", type=int, default=12101)
     p.add_argument("--n-users", type=int, default=22363)
     p.add_argument("--seed", type=int, default=7)
-    p.add_argument("--force", action="store_true")
     args = p.parse_args(argv)
 
     fabricate_raw(args.root, n_items=args.n_items, n_users=args.n_users,
                   seed=args.seed)
+    # always force=True: this script just rewrote the raw files, so reusing
+    # an existing processed/ dir would silently serve a previous corpus
+    # realization (the round-5 ml32m rerun hit exactly that)
     out = amazon.process(
-        args.root, "beauty", encode_fn=structured_encoder(), force=args.force
+        args.root, "beauty", encode_fn=structured_encoder(), force=True
     )
     z = np.load(os.path.join(out, "items.npz"))
     print(f"artifacts at {out}: items {z['x'].shape}, "
