@@ -194,6 +194,162 @@ def forward(
     return ModelOutput(loss=loss, logits=logits, loss_d=loss_d)
 
 
+# ---------------------------------------------------------------------------
+# Packed training path (data/packing.py): several user segments per row
+# ---------------------------------------------------------------------------
+# Token layout per row (R rows, S slots, N item capacity, D = sem_id_dim):
+#   encoder: [user_0 .. user_{S-1}] ++ item tokens in (item, level) order
+#            (Nc = S + N*D tokens; segment s's item tokens are contiguous)
+#   decoder: S blocks of [BOS, fut_0 .. fut_{D-1}]  (Nf = S*(D+1) tokens)
+# Attention is segment-local via per-query key spans (ops/attention.
+# span_mask): window = own segment's item-token range, extra column = own
+# user token. Per-segment semantics (embeddings, positions, loss) are
+# EXACTLY the flat model's — tests/test_packing.py locks one-segment-per-row
+# packed forward to the flat forward.
+
+
+def packed_spans(cfg: RetrievalConfig, tok):
+    """Derive the three span sets from the packing metadata.
+
+    Returns (enc_spans, fut_self_spans, cross_spans), each a (lo, hi, extra)
+    triple of (R, Nq) int32 — see ops/attention.span_mask.
+    """
+    r, s = tok.slot_valid.shape
+    n = tok.seg_item.shape[1]
+    d = cfg.sem_id_dim
+
+    item_seg = jnp.repeat(tok.seg_item, d, axis=1)          # (R, N*D)
+    lo_slot = s + tok.slot_start * d                        # (R, S) token lo
+    hi_slot = lo_slot + tok.slot_len * d
+
+    def window(seg):
+        safe = jnp.maximum(seg, 0)
+        lo = jnp.take_along_axis(lo_slot, safe, axis=1)
+        hi = jnp.take_along_axis(hi_slot, safe, axis=1)
+        ok = seg >= 0
+        return jnp.where(ok, lo, 0), jnp.where(ok, hi, 0)
+
+    # encoder self-attention: user tokens sit at columns 0..S-1, so a
+    # token's extra column IS its slot index
+    slot_ids = jnp.arange(s, dtype=jnp.int32)[None]
+    user_seg = jnp.where(tok.slot_valid, slot_ids, -1)      # (R, S)
+    lo_u, hi_u = window(user_seg)
+    lo_i, hi_i = window(item_seg)
+    enc_spans = (
+        jnp.concatenate([lo_u, lo_i], axis=1),
+        jnp.concatenate([hi_u, hi_i], axis=1),
+        jnp.concatenate([user_seg, item_seg], axis=1),
+    )
+
+    # decoder fut side: slot s owns positions [s*(D+1), (s+1)*(D+1))
+    nf = s * (d + 1)
+    pos = jnp.arange(nf, dtype=jnp.int32)
+    slot_of_fut = pos // (d + 1)                            # static layout
+    fut_self_spans = (
+        jnp.broadcast_to(slot_of_fut * (d + 1), (r, nf)),
+        jnp.broadcast_to(pos + 1, (r, nf)),                 # causal in-slot
+        jnp.full((r, nf), -1, jnp.int32),
+    )
+
+    fut_seg = jnp.where(
+        tok.slot_valid[:, slot_of_fut], slot_of_fut[None], -1
+    )                                                       # (R, Nf)
+    lo_f, hi_f = window(fut_seg)
+    cross_spans = (lo_f, hi_f, fut_seg)
+    return enc_spans, fut_self_spans, cross_spans
+
+
+def embed_packed_context(params, cfg: RetrievalConfig, tok):
+    """[S user tokens] ++ [wpe + sem-ID embeddings]; positions restart per
+    segment (identical to the flat embed_context per segment)."""
+    r, nd = tok.sem_ids.shape
+    n = tok.seg_item.shape[1]
+    d = cfg.sem_id_dim
+    sem = embeddings.sem_id_embed(
+        params["sem_emb"], tok.sem_ids, tok.token_type_ids,
+        cfg.num_embeddings, tok.seq_mask,
+    )
+    seg_pos = jnp.arange(n, dtype=jnp.int32)[None] - jnp.take_along_axis(
+        tok.slot_start, jnp.maximum(tok.seg_item, 0), axis=1
+    )                                                       # (R, N)
+    tok_pos = jnp.repeat(seg_pos, d, axis=1) * d + jnp.tile(
+        jnp.arange(d, dtype=jnp.int32), (r, n)
+    )
+    tok_pos = jnp.clip(tok_pos, 0, params["wpe"].shape[0] - 1)
+    # one-hot matmul instead of a dynamic gather: the flat path's wpe add is
+    # a static slice (free backward); a per-token gather here would make the
+    # backward a serialized scatter-add into the table. As a matmul both
+    # directions ride the MXU and XLA fuses the one-hot generation.
+    oh = jax.nn.one_hot(tok_pos, params["wpe"].shape[0], dtype=sem.dtype)
+    sem = sem + oh @ params["wpe"].astype(sem.dtype)
+    user = embeddings.user_id_embed(params["user_emb"], tok.user_ids)
+    return jnp.concatenate([user, sem], axis=1)             # (R, S+N*D, E)
+
+
+def embed_packed_future(params, cfg: RetrievalConfig, tok):
+    """S blocks of [BOS, fut embedding + token-type embedding]."""
+    r, s, d = tok.sem_ids_fut.shape
+    e = cfg.embedding_dim
+    tt = jnp.broadcast_to(jnp.arange(d, dtype=jnp.int32), (r, s, d))
+    fut = embeddings.sem_id_embed(
+        params["sem_emb"], tok.sem_ids_fut, tt, cfg.num_embeddings
+    ) + params["tte"][tt]                                   # (R, S, D, E)
+    bos = jnp.broadcast_to(params["bos"], (r, s, 1, e))
+    return jnp.concatenate([bos, fut], axis=2).reshape(r, s * (d + 1), e)
+
+
+def forward_packed(
+    params,
+    cfg: RetrievalConfig,
+    tok,                       # semids.PackedTokenizedBatch
+    *,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> ModelOutput:
+    """Training/eval-loss forward over a packed batch.
+
+    Loss is the mean over VALID SLOTS of the per-example position-summed CE
+    — i.e. exactly the flat forward's loss over the examples the batch
+    packed (the flat step's batch mean, at a per-step example count set by
+    the packer).
+    """
+    ctx_emb = embed_packed_context(params, cfg, tok)
+    fut_emb = embed_packed_future(params, cfg, tok)
+
+    h_ctx, rng = _dropout(
+        rms_norm(ctx_emb, params["norm"]), cfg.input_dropout, training, rng
+    )
+    h_fut, rng = _dropout(
+        rms_norm(fut_emb, params["norm_cxt"]), cfg.input_dropout, training, rng
+    )
+    ctx_in = h_ctx @ params["in_proj_context"].astype(h_ctx.dtype)
+    fut_in = h_fut @ params["in_proj"].astype(h_fut.dtype)
+
+    enc_spans, fut_self_spans, cross_spans = packed_spans(cfg, tok)
+    if rng is not None:
+        rng, enc_rng = jax.random.split(rng)
+    else:
+        enc_rng = None
+    context = transformer.encode(
+        params["transformer"], cfg.transformer, ctx_in, None,
+        training=training, rng=enc_rng, self_spans=enc_spans,
+    )
+    out = transformer.decode(
+        params["transformer"], cfg.transformer, fut_in, context, None,
+        training=training, rng=rng,
+        self_spans=fut_self_spans, cross_spans=cross_spans,
+    )
+    logits = out @ params["out_proj"].astype(out.dtype)     # (R, S*(D+1), K)
+    r, s, d = tok.sem_ids_fut.shape
+    logits = logits.reshape(r, s, d + 1, -1)[:, :, :d]      # predict 0..D-1
+    targets = jnp.where(tok.slot_valid[:, :, None], tok.sem_ids_fut, -1)
+    unred = cross_entropy_ignore(logits, targets)           # (R, S, D)
+    n_valid = jnp.maximum(jnp.sum(tok.slot_valid), 1).astype(jnp.float32)
+    loss = jnp.sum(unred) / n_valid
+    loss_d = jnp.sum(unred, axis=(0, 1)) / n_valid
+    return ModelOutput(loss=loss, logits=logits, loss_d=loss_d)
+
+
 def forward_generate_step(
     params,
     cfg: RetrievalConfig,

@@ -96,7 +96,7 @@ def _dropout(x, p, training, rng):
     return jnp.where(keep, x / (1.0 - p), 0.0), rng
 
 
-def _self_attention(p, x, num_heads, *, causal, k_mask):
+def _self_attention(p, x, num_heads, *, causal, k_mask, q_spans=None):
     qkv = x @ p["wqkv"].astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     out = attn_ops.attend(
@@ -105,11 +105,12 @@ def _self_attention(p, x, num_heads, *, causal, k_mask):
         attn_ops.split_heads(v, num_heads),
         causal=causal,
         k_mask=k_mask,
+        q_spans=q_spans,
     )
     return attn_ops.merge_heads(out) @ p["proj"].astype(x.dtype)
 
 
-def _cross_attention(p, x, context, num_heads, *, k_mask):
+def _cross_attention(p, x, context, num_heads, *, k_mask, q_spans=None):
     q = x @ p["wq"].astype(x.dtype)
     kv = context @ p["wkv"].astype(x.dtype)
     k, v = jnp.split(kv, 2, axis=-1)
@@ -119,6 +120,7 @@ def _cross_attention(p, x, context, num_heads, *, k_mask):
         attn_ops.split_heads(v, num_heads),
         causal=False,
         k_mask=k_mask,
+        q_spans=q_spans,
     )
     return attn_ops.merge_heads(out) @ p["proj"].astype(x.dtype)
 
@@ -134,10 +136,13 @@ def _block_apply(
     cross_k_mask=None,
     training: bool = False,
     rng: Optional[jax.Array] = None,
+    self_spans=None,
+    cross_spans=None,
 ):
     h, rng = _dropout(rms_norm(x, p["attn_norm"]), cfg.dropout, training, rng)
     attn_out = x + _self_attention(
-        p["attn"], h, cfg.num_heads, causal=causal, k_mask=self_k_mask
+        p["attn"], h, cfg.num_heads, causal=causal, k_mask=self_k_mask,
+        q_spans=self_spans,
     )
     if context is not None:
         # quirk parity: cross query reads the BLOCK INPUT x, not attn_out
@@ -145,7 +150,8 @@ def _block_apply(
             rms_norm(x, p["cross_attn_norm"]), cfg.dropout, training, rng
         )
         attn_out = attn_out + _cross_attention(
-            p["cross_attn"], hc, context, cfg.num_heads, k_mask=cross_k_mask
+            p["cross_attn"], hc, context, cfg.num_heads, k_mask=cross_k_mask,
+            q_spans=cross_spans,
         )
     ff_in = rms_norm(attn_out, p["ff_norm"])
     if rng is not None:
@@ -167,12 +173,16 @@ def encode(
     *,
     training: bool = False,
     rng: Optional[jax.Array] = None,
+    self_spans=None,
 ) -> jax.Array:
-    """Non-causal self-attention stack over the history."""
+    """Non-causal self-attention stack over the history. ``self_spans``
+    (packed training) replaces the key mask with per-query key windows."""
     x = context_in
     for block in params["encoder"]:
         x, rng = _block_apply(
-            block, cfg, x, causal=False, self_k_mask=context_mask,
+            block, cfg, x, causal=False,
+            self_k_mask=None if self_spans is not None else context_mask,
+            self_spans=self_spans,
             training=training, rng=rng,
         )
     return x
@@ -187,18 +197,26 @@ def decode(
     *,
     training: bool = False,
     rng: Optional[jax.Array] = None,
+    self_spans=None,
+    cross_spans=None,
 ) -> jax.Array:
-    """Causal self-attention + cross-attention to the encoder output."""
+    """Causal self-attention + cross-attention to the encoder output.
+
+    Packed training passes ``self_spans`` (causal-within-segment expressed
+    as hi = own position + 1) and ``cross_spans`` (own segment's encoder
+    window) instead of plain causality and the key mask."""
     for block in params["decoder"]:
         x, rng = _block_apply(
             block,
             cfg,
             x,
-            causal=True,
+            causal=self_spans is None,
             context=context,
-            cross_k_mask=context_mask,
+            cross_k_mask=None if cross_spans is not None else context_mask,
             training=training,
             rng=rng,
+            self_spans=self_spans,
+            cross_spans=cross_spans,
         )
     return x
 

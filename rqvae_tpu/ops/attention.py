@@ -30,6 +30,7 @@ def build_mask(
     causal: bool = False,
     q_mask: Optional[jax.Array] = None,   # (B, Nq) bool
     k_mask: Optional[jax.Array] = None,   # (B, Nk) bool
+    q_spans: Optional[tuple] = None,      # (lo, hi, extra) each (B, Nq) int32
 ) -> Optional[jax.Array]:
     """(B or 1, 1, Nq, Nk) boolean attention mask; True = attend."""
     mask = None
@@ -41,7 +42,27 @@ def build_mask(
     if q_mask is not None:
         qm = q_mask[:, None, :, None]
         mask = qm if mask is None else jnp.logical_and(mask, qm)
+    if q_spans is not None:
+        sm = span_mask(q_spans, k_len)[:, None]
+        mask = sm if mask is None else jnp.logical_and(mask, sm)
     return mask
+
+
+def span_mask(q_spans: tuple, k_len: int) -> jax.Array:
+    """Per-query contiguous key window plus one extra column.
+
+    ``q_spans = (lo, hi, extra)``, each (B, Nq) int32: query i may attend
+    key j iff ``lo[i] <= j < hi[i]`` or ``j == extra[i]`` (extra = -1 for
+    none). lo = hi = 0 makes a query row fully masked (attends nothing).
+    This one primitive expresses every mask the packed training layout
+    needs: segment-local encoder self-attention (window = own segment's
+    item tokens, extra = own user token), packed cross-attention, and
+    block-causal decoding (window = [segment start, own position]).
+    Returns (B, Nq, Nk) bool."""
+    lo, hi, extra = q_spans
+    cols = jnp.arange(k_len, dtype=jnp.int32)[None, None, :]
+    in_window = (cols >= lo[..., None]) & (cols < hi[..., None])
+    return in_window | (cols == extra[..., None])
 
 
 def sdpa(
@@ -82,6 +103,7 @@ def attend(
     *,
     causal: bool = False,
     k_mask: Optional[jax.Array] = None,  # (B, Nk) bool
+    q_spans: Optional[tuple] = None,     # (lo, hi, extra) each (B, Nq) int32
 ) -> jax.Array:
     """Structured-mask attention entry point used by the transformer.
 
@@ -119,6 +141,41 @@ def attend(
     import os
 
     from rqvae_tpu.ops import dispatch
+
+    if q_spans is not None:
+        # span-restricted attention (the packed-training masks). The flash
+        # span kernel carries the window bounds into the kernel as per-q-
+        # block int32 columns — no (B, Nq, Nk) mask ever exists in HBM.
+        span_big = (
+            q.shape[1] >= 256 and k.shape[1] >= 256 and q.shape[-1] >= 64
+            and not causal and k_mask is None
+        )
+        if dispatch.pallas_enabled() and span_big and _shardable(q, None):
+            from rqvae_tpu.ops import flash_attention as fa
+            from jax.sharding import PartitionSpec as P
+            from rqvae_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            qs = P(DATA_AXIS, MODEL_AXIS, None, None)
+            sp = P(DATA_AXIS, None)
+            call = dispatch.shard_over_batch(
+                lambda q_, k_, v_, lo_, hi_, u_: fa.flash_attention_spans(
+                    q_, k_, v_, lo_, hi_, u_
+                ),
+                in_specs=(qs, qs, qs, sp, sp, sp),
+                out_specs=qs,
+            )
+            out = call(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                *q_spans,
+            )
+            return out.transpose(0, 2, 1, 3)
+        mask = build_mask(
+            q.shape[1], k.shape[1], causal=causal, k_mask=k_mask,
+            q_spans=q_spans,
+        )
+        return sdpa(q, k, v, mask)
 
     short_scores = (
         q.shape[1] < 256 and k.shape[1] < 256 and q.shape[-1] >= 64

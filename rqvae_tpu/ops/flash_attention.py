@@ -471,6 +471,217 @@ def flash_attention_small(
     return _flash_small(q, k, v, k_mask, causal, interpret)
 
 
+# ---------------------------------------------------------------------------
+# Span-restricted variant: per-query contiguous key window + one extra column
+# ---------------------------------------------------------------------------
+# The packed-training masks (ops/attention.span_mask): query i attends keys
+# [lo_i, hi_i) plus column extra_i. The bounds ride into the kernel as three
+# (1, TQ, 1)-blocked int32 columns, so the mask is two iota compares and a
+# select per q-block — the (B, Nq, Nk) boolean mask never exists in HBM.
+# Everything else (one-shot softmax over full K/V in VMEM, pass-minimized
+# algebra, fp32 accumulation, empty-row zeros) matches the kernels above.
+
+
+def _span_allow(scores, lo, hi, extra):
+    cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    allow = (cols >= lo) & (cols < hi) | (cols == extra)
+    return jnp.where(allow, scores, NEG_INF)
+
+
+def _flash_span_kernel(q_ref, k_ref, v_ref, lo_ref, hi_ref, u_ref, out_ref):
+    q = q_ref[0, 0]                              # (TQ, Dh)
+    k = k_ref[0, 0]                              # (Nk, Dh)
+    v = v_ref[0, 0]
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                    # (TQ, Nk) fp32
+    scores = _span_allow(scores, lo_ref[0], hi_ref[0], u_ref[0])
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    inv = jnp.where(m > 0.5 * NEG_INF, 1.0 / s, 0.0)
+    out_ref[0, 0] = (out * inv).astype(out_ref.dtype)
+
+
+def _flash_span_bwd_kernel(q_ref, k_ref, v_ref, lo_ref, hi_ref, u_ref, g_ref,
+                           dq_ref, dk_ref, dv_ref):
+    """Same pass-minimized backward algebra as _flash_bwd_kernel, with the
+    span mask recomputed per q-block (padded q rows ship lo = hi = 0, so
+    their e rows are uniformly weighted by inv = 0 and contribute nothing)."""
+    i = pl.program_id(2)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    g = g_ref[0, 0]
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    scores = _span_allow(scores, lo_ref[0], hi_ref[0], u_ref[0])
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    inv = jnp.where(m > 0.5 * NEG_INF, 1.0 / s, 0.0)
+
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    c = jnp.sum(dp * e, axis=-1, keepdims=True) * inv
+    ds = (e * ((dp - c) * inv)).astype(k.dtype)
+
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dk_ref[0, 0] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    g_n = (g.astype(jnp.float32) * inv).astype(g.dtype)
+    dv_ref[0, 0] += jax.lax.dot_general(
+        e.astype(g.dtype), g_n, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _span_operands(lo, hi, extra, nq: int, block_q: int):
+    """(B, Nq) int32 bounds -> padded (B, Nqp, 1) kernel operands; q padding
+    rows get lo = hi = 0 (attend nothing) and extra = -1."""
+    pad_q = (-nq) % block_q
+    def prep(x, fill):
+        x = x.astype(jnp.int32)
+        if pad_q:
+            x = jnp.pad(x, ((0, 0), (0, pad_q)), constant_values=fill)
+        return x[:, :, None]
+    return prep(lo, 0), prep(hi, 0), prep(extra, -1), nq + pad_q
+
+
+def _span_specs(block_q: int, nk: int, dh: int):
+    qblk = pl.BlockSpec((1, 1, block_q, dh), lambda b_, h_, i: (b_, h_, i, 0),
+                        memory_space=pltpu.VMEM)
+    kv = pl.BlockSpec((1, 1, nk, dh), lambda b_, h_, i: (b_, h_, 0, 0),
+                      memory_space=pltpu.VMEM)
+    bound = pl.BlockSpec((1, block_q, 1), lambda b_, h_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM)
+    return qblk, kv, bound
+
+
+def _flash_span_forward(q, k, v, lo, hi, extra, *, block_q: int,
+                        interpret: bool):
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    lo_p, hi_p, u_p, nqp = _span_operands(lo, hi, extra, nq, block_q)
+    if nqp != nq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, nqp - nq), (0, 0)))
+    qblk, kv, bound = _span_specs(block_q, nk, dh)
+    out = pl.pallas_call(
+        _flash_span_kernel,
+        grid=(b, h, nqp // block_q),
+        in_specs=[qblk, kv, kv, bound, bound, bound],
+        out_specs=qblk,
+        out_shape=jax.ShapeDtypeStruct((b, h, nqp, dh), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * nqp * nk * dh,
+            bytes_accessed=4 * (b * h * (2 * nqp * dh + 2 * nk * dh)),
+            transcendentals=b * h * nqp * nk,
+        ),
+        interpret=interpret,
+    )(q, k, v, lo_p, hi_p, u_p)
+    return out[:, :, :nq]
+
+
+def _flash_span_backward(q, k, v, lo, hi, extra, g, *, block_q: int,
+                         interpret: bool):
+    b, h, nq, dh = q.shape
+    nk = k.shape[2]
+    lo_p, hi_p, u_p, nqp = _span_operands(lo, hi, extra, nq, block_q)
+    if nqp != nq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, nqp - nq), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, nqp - nq), (0, 0)))
+    qblk, kv, bound = _span_specs(block_q, nk, dh)
+    dq, dk, dv = pl.pallas_call(
+        _flash_span_bwd_kernel,
+        grid=(b, h, nqp // block_q),
+        in_specs=[qblk, kv, kv, bound, bound, bound, qblk],
+        out_specs=[qblk, kv, kv],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, nqp, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nk, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, nk, dh), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * nqp * nk * dh,
+            bytes_accessed=4 * b * h * (4 * nqp * dh + 4 * nk * dh),
+            transcendentals=b * h * nqp * nk,
+        ),
+        interpret=interpret,
+    )(q, k, v, lo_p, hi_p, u_p, g)
+    return (
+        dq[:, :, :nq].astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _flash_span(q, k, v, lo, hi, extra, block_q, interpret):
+    return _flash_span_forward(q, k, v, lo, hi, extra, block_q=block_q,
+                               interpret=interpret)
+
+
+def _flash_span_fwd(q, k, v, lo, hi, extra, block_q, interpret):
+    out = _flash_span_forward(q, k, v, lo, hi, extra, block_q=block_q,
+                              interpret=interpret)
+    return out, (q, k, v, lo, hi, extra)
+
+
+def _flash_span_bwd(block_q, interpret, res, g):
+    q, k, v, lo, hi, extra = res
+    dq, dk, dv = _flash_span_backward(q, k, v, lo, hi, extra, g,
+                                      block_q=block_q, interpret=interpret)
+    return (dq, dk, dv, None, None, None)
+
+
+_flash_span.defvjp(_flash_span_fwd, _flash_span_bwd)
+
+
+def flash_attention_spans(
+    q: jax.Array,               # (B, H, Nq, Dh)
+    k: jax.Array,               # (B, H, Nk, Dh)
+    v: jax.Array,               # (B, H, Nk, Dh)
+    lo: jax.Array,              # (B, Nq) int32 window start (inclusive)
+    hi: jax.Array,              # (B, Nq) int32 window end (exclusive)
+    extra: jax.Array,           # (B, Nq) int32 extra key column, -1 = none
+    *,
+    block_q: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Span-restricted fused attention (ops/attention.span_mask semantics);
+    differentiable (custom VJP). Non-causal: the packed decoder's causal-
+    within-segment masking is expressed as hi = own position + 1."""
+    if interpret is None:
+        from rqvae_tpu.ops.dispatch import use_interpret
+
+        interpret = use_interpret()
+    if block_q is None:
+        block_q = default_block_q(q.shape[2], k.shape[2])
+    return _flash_span(q, k, v, lo, hi, extra, block_q, interpret)
+
+
 def default_block_q(nq: int, nk: int) -> int:
     """Largest q-block whose fp32 score matrix stays within a ~3 MB VMEM
     budget, 128-aligned. Bigger blocks amortize per-program overhead and the

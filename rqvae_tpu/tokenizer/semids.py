@@ -403,6 +403,55 @@ def tokenize_sequences(
     )
 
 
+def tokenize_packed(
+    index: CorpusIndex, packed
+) -> "PackedTokenizedBatch":
+    """Cached-ID gather for a packed batch (data.packing.PackedSeqBatch):
+    item-ID rows carrying several user segments -> semantic-ID token rows.
+
+    Identical per-segment semantics to :func:`tokenize_sequences`; the packing
+    metadata (segment membership and slot table) passes through untouched for
+    the model to derive its attention spans from.
+    """
+    r, n = packed.ids.shape
+    d = index.cached_ids.shape[-1]
+    safe_ids = jnp.maximum(packed.ids, 0)
+    sem_ids = index.cached_ids[safe_ids].reshape(r, n * d)
+    seq_mask = jnp.repeat(packed.ids >= 0, d, axis=1)
+    sem_ids = jnp.where(seq_mask, sem_ids, -1)
+
+    fut_safe = jnp.maximum(packed.ids_fut, 0)           # (R, S)
+    sem_ids_fut = index.cached_ids[fut_safe]            # (R, S, D)
+
+    token_type = jnp.tile(jnp.arange(d, dtype=jnp.int32), (r, n))
+    return PackedTokenizedBatch(
+        user_ids=packed.user_ids,
+        sem_ids=sem_ids,
+        sem_ids_fut=sem_ids_fut,
+        seq_mask=seq_mask,
+        token_type_ids=token_type,
+        seg_item=packed.seg_item,
+        slot_start=packed.slot_start,
+        slot_len=packed.slot_len,
+        slot_valid=packed.slot_valid,
+    )
+
+
+class PackedTokenizedBatch(NamedTuple):
+    """A packed batch in semantic-ID token space (packed counterpart of
+    TokenizedSeqBatch): R rows x S segments, item tokens flattened to N*D."""
+
+    user_ids: jax.Array        # (R, S) int32
+    sem_ids: jax.Array         # (R, N*D) int32, -1 padded
+    sem_ids_fut: jax.Array     # (R, S, D) int32
+    seq_mask: jax.Array        # (R, N*D) bool
+    token_type_ids: jax.Array  # (R, N*D) int32 in [0, D)
+    seg_item: jax.Array        # (R, N) int32 slot per item, -1 pad
+    slot_start: jax.Array      # (R, S) int32
+    slot_len: jax.Array        # (R, S) int32
+    slot_valid: jax.Array      # (R, S) bool
+
+
 def tokenize_items_fresh(
     params, cfg: rqvae_lib.RqVaeConfig, x: jax.Array
 ) -> jax.Array:

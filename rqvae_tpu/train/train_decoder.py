@@ -108,6 +108,19 @@ class DecoderTrainConfig:
     # Rule of thumb: bucket long-sequence configs, keep >=32 rows per
     # bucket; bench.py ml32m vs ml32m_bucketed is the ready-made A/B.
     length_buckets: int = 1
+    # Packed long-context training (data/packing.py): several sampled crops
+    # share one fixed-shape row, attention is segment-local via per-query
+    # key spans (ops/attention.span_mask + the flash span kernel). Compared
+    # to length_buckets this removes ALL padding (not just cross-bucket),
+    # runs ONE static jit program per step, and — because every shape is
+    # static — shards over a multi-host mesh exactly like the flat step
+    # (bucketing is single-process only). Per-slot semantics are exactly
+    # the flat step's (tests/test_packing.py); the examples per step float
+    # around packed_rows * max_seq_len / mean_crop_len instead of being
+    # fixed at batch_size. packed_rows = GLOBAL rows per step (0 = off);
+    # pack_slots = max segments per row.
+    packed_rows: int = 0
+    pack_slots: int = 8
     seed: int = 42
     prng_impl: str = "rbg"               # see train_rqvae.RqVaeTrainConfig
     log_every: int = 100
@@ -178,10 +191,37 @@ def debug_metrics(seq_mask: np.ndarray, prefix: str, token_scale: int = 1) -> di
         np.asarray(seq_mask).sum(axis=-1).astype(np.float32).ravel()
         * token_scale
     )
+    return _length_quantiles(lengths, prefix)
+
+
+def _length_quantiles(lengths: np.ndarray, prefix: str) -> dict:
     return {
         f"{prefix}_seq_length_p{q}": float(np.quantile(lengths, q))
         for q in (0.25, 0.5, 0.75, 0.9, 1)
     }
+
+
+def make_packed_step(model_cfg, opt, index, compute_dtype):
+    """Train step over a packed batch (data/packing.PackedSeqBatch): in-jit
+    tokenization, segment-local forward, one optimizer update. Same loss
+    estimator as the flat step over the examples the packer placed."""
+
+    def packed_loss(params, packed, rng):
+        p = amp.cast_floating(params, compute_dtype)
+        tok = semids.tokenize_packed(index, packed)
+        out = retrieval.forward_packed(
+            p, model_cfg, tok, training=True, rng=rng
+        )
+        return out.loss, out.loss_d
+
+    def step(params, opt_state, packed, rng):
+        (loss, loss_d), grads = jax.value_and_grad(
+            packed_loss, has_aux=True
+        )(params, packed, rng)
+        params, opt_state = _apply_updates(opt, params, opt_state, grads)
+        return params, opt_state, {"total_loss": loss, "loss_d": loss_d}
+
+    return step
 
 
 def load_frozen_rqvae(cfg: DecoderTrainConfig):
@@ -460,6 +500,22 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
             model_cfg, opt, index, compute_dtype, sem_dim
         )
         zeros_fn = jax.jit(lambda p: jax.tree.map(jnp.zeros_like, p))
+    use_packing = (
+        cfg.packed_rows > 0 and accum == 1 and not use_buckets
+    )
+    if cfg.packed_rows > 0 and not use_packing:
+        print(
+            f"WARNING: packed_rows={cfg.packed_rows} ignored (requires "
+            f"gradient_accumulate_every=1 and length_buckets=1; accum="
+            f"{accum}, length_buckets={cfg.length_buckets}) — training "
+            "takes the flat step.",
+            file=sys.stderr,
+        )
+    if use_packing:
+        packed_step_fn = jax.jit(
+            make_packed_step(model_cfg, opt, index, compute_dtype),
+            donate_argnums=(0, 1),
+        )
     step_fn = jax.jit(
         make_train_step(model_cfg, opt, index, accum, compute_dtype, sem_dim),
         donate_argnums=(0, 1),
@@ -493,6 +549,16 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
 
     # per-process stream: each host samples ITS slice of the global batch
     host_rng = np.random.default_rng(cfg.seed + jax.process_index())
+    if use_packing:
+        from rqvae_tpu.data import packing as packing_lib
+
+        packer = packing_lib.SequencePacker(
+            seqs=bundle.train_seqs,
+            rng=host_rng,
+            rows=mesh_lib.process_local_batch_size(cfg.packed_rows),
+            slots=cfg.pack_slots,
+            subsample=cfg.train_data_subsample,
+        )
     profiler = profiling.StepProfiler(
         cfg.profile_dir, cfg.profile_start, cfg.profile_steps
     )
@@ -501,7 +567,23 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
 
     for it in range(start_iter, start_iter + cfg.iterations):
         profiler.step(it - start_iter)
-        if use_buckets:
+        train_len_metrics = None
+        if use_packing:
+            raw, n_ex = packer.next_batch()
+            train_len_metrics = _length_quantiles(
+                (raw.slot_len[raw.slot_valid] * sem_dim).astype(np.float32),
+                "train",
+            )
+            batch = mesh_lib.shard_batch(raw, device_mesh, axis=0)
+            rng, step_key = jax.random.split(rng)
+            params, opt_state, metrics = packed_step_fn(
+                params, opt_state, batch, step_key
+            )
+            # each host packs its own rows; counts differ only by packer
+            # fill noise, so local x process_count is the global estimate
+            # (exact on a single process)
+            examples_seen += n_ex * jax.process_count()
+        elif use_buckets:
             raw = bundle.train_seqs.sample_batch(
                 host_rng, local_bs, subsample=cfg.train_data_subsample
             )
@@ -535,7 +617,8 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
             params, opt_state, metrics = step_fn(
                 params, opt_state, batch, step_key
             )
-        examples_seen += accum * cfg.batch_size
+        if not use_packing:
+            examples_seen += accum * cfg.batch_size
 
         if _every(it, cfg.log_every) or it == start_iter:
             m = jax.device_get(metrics)
@@ -543,7 +626,11 @@ def train(cfg: DecoderTrainConfig, *, logger: Optional[MetricsLogger] = None):
             m.update({f"loss_{d}": loss_d[d] for d in range(sem_dim)})
             m["learning_rate"] = float(schedule(it + 1))
             m["examples_per_s"] = examples_seen / (time.monotonic() - t_start)
-            m.update(debug_metrics(np.asarray(log_mask), "train", sem_dim))
+            m.update(
+                train_len_metrics
+                if train_len_metrics is not None
+                else debug_metrics(np.asarray(log_mask), "train", sem_dim)
+            )
             logger.log(it + 1, m, force=True)
 
         last = it + 1 == start_iter + cfg.iterations
